@@ -1,0 +1,330 @@
+"""Ray marching + compositing + distortion tests against serial NumPy
+references that mirror the reference CUDA kernels' semantics
+(models/csrc/raymarching.cu, volumerendering.cu, losses.cu)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from arnerf_tpu.ops.stepping import (
+    SQRT3, calc_dt, lattice_t, num_lattice_steps, mip_from_pos, mip_from_dt)
+from arnerf_tpu.ops.marching import march_rays_train, march_rays_test
+from arnerf_tpu.ops.composite import composite_train, composite_test_step
+from arnerf_tpu.ops.distortion import distortion_loss
+from arnerf_tpu.ops.intersection import ray_aabb_intersect_single
+
+GRID = 32
+SCALE = 0.5
+MAXS = 256
+
+
+def np_calc_dt(t, f, max_samples, grid_size, scale):
+    return np.clip(t * f, SQRT3 / max_samples, SQRT3 * 2 * scale / grid_size)
+
+
+def np_march_ray(o, d, t1, t2, occ, f, max_samples, grid_size, scale, cascades,
+                 s_cap):
+    """Serial reference marcher on the closed-form lattice (mirrors
+    raymarching_train_kernel but without resampling drift)."""
+    samples = []
+    t = t1
+    k = 0
+    while 0 <= t < t2 and len(samples) < s_cap and k < 100000:
+        x = o + t * d
+        dt = np_calc_dt(t, f, max_samples, grid_size, scale)
+        mx = np.max(np.abs(x))
+        mip_p = min(cascades - 1, max(0, int(np.floor(np.log2(max(mx, 1e-12)))) + 2))
+        mip_d = min(cascades - 1, max(0, int(np.floor(np.log2(dt * grid_size))) + 1))
+        mip = max(mip_p, mip_d)
+        mb = min(2.0 ** (mip - 1), scale)
+        n = np.clip(0.5 * (x / mb + 1) * grid_size, 0, grid_size - 1).astype(int)
+        if occ[mip, n[0], n[1], n[2]]:
+            samples.append((t, dt))
+        # advance on the lattice (uniform for f=0)
+        if f == 0:
+            t = t1 + (k + 1) * np_calc_dt(0, f, max_samples, grid_size, scale)
+        else:
+            t = t + dt
+        k += 1
+    return samples
+
+
+def make_sphere_grid(radius=0.3):
+    """Single-cascade occupancy: occupied where cell center is inside a sphere."""
+    g = np.arange(GRID)
+    centers = (g + 0.5) / GRID * 2 - 1  # [-1, 1] in grid coords
+    X, Y, Z = np.meshgrid(centers, centers, centers, indexing="ij")
+    occ = (np.sqrt(X**2 + Y**2 + Z**2) * SCALE < radius)
+    return occ[None].astype(np.uint8)  # (1, G, G, G)
+
+
+def march_kwargs(**over):
+    kw = dict(scale=SCALE, cascades=1, exp_step_factor=0.0, grid_size=GRID,
+              max_samples=MAXS,
+              n_candidates=num_lattice_steps(0.01, 0.01 + 2 * SQRT3 * SCALE,
+                                             0.0, MAXS, GRID, SCALE),
+              m_cap=2048, s_cap=128)
+    kw.update(over)
+    return kw
+
+
+def test_lattice_matches_serial_recurrence():
+    """The closed form must reproduce t += calc_dt(t) for exp stepping."""
+    f, ms, gs, sc = 1 / 256, 1024, 128, 4.0
+    t1 = 0.05
+    ts = [t1]
+    t = t1
+    for _ in range(300):
+        t = t + np_calc_dt(t, f, ms, gs, sc)
+        ts.append(t)
+    k = jnp.arange(301)
+    got = np.asarray(lattice_t(jnp.float32(t1), k, exp_step_factor=f,
+                               max_samples=ms, grid_size=gs, scale=sc))
+    # < 1-step tolerance at the clamp boundaries, exact in pure phases
+    dts = np_calc_dt(np.asarray(ts), f, ms, gs, sc)
+    assert np.all(np.abs(got - np.asarray(ts)) < 1.5 * dts)
+
+
+def test_march_train_matches_serial_reference():
+    occ = make_sphere_grid()
+    rng = np.random.default_rng(0)
+    N = 16
+    # rays from z=-1.2 aimed at jittered points near the center
+    rays_o = np.tile([0.0, 0.0, -1.2], (N, 1)).astype(np.float32)
+    targets = rng.uniform(-0.3, 0.3, size=(N, 3)).astype(np.float32)
+    d = targets - rays_o
+    rays_d = (d / np.linalg.norm(d, axis=1, keepdims=True)).astype(np.float32)
+
+    hits = np.asarray(ray_aabb_intersect_single(
+        jnp.asarray(rays_o), jnp.asarray(rays_d),
+        jnp.zeros(3), jnp.full(3, SCALE)))
+    noise = np.zeros(N, np.float32)  # deterministic for comparison
+
+    res = march_rays_train(jnp.asarray(rays_o), jnp.asarray(rays_d),
+                           jnp.asarray(hits), jnp.asarray(occ).reshape(-1),
+                           jnp.asarray(noise), **march_kwargs())
+
+    counts = np.asarray(res.counts)
+    starts = np.asarray(res.ray_start)
+    ts = np.asarray(res.ts)
+    deltas = np.asarray(res.deltas)
+    valid = np.asarray(res.valid)
+    ray_idx = np.asarray(res.ray_idx)
+
+    total = 0
+    for r in range(N):
+        ref = np_march_ray(rays_o[r], rays_d[r], hits[r, 0], hits[r, 1],
+                           occ, 0.0, MAXS, GRID, SCALE, 1, 128)
+        got_ts = ts[starts[r]:starts[r] + counts[r]]
+        assert counts[r] == len(ref), f"ray {r}: {counts[r]} vs {len(ref)}"
+        if len(ref):
+            ref_ts = np.array([t for t, _ in ref])
+            assert np.allclose(got_ts, ref_ts, atol=1e-5), f"ray {r}"
+            assert np.allclose(deltas[starts[r]:starts[r] + counts[r]],
+                               [dt for _, dt in ref], atol=1e-6)
+            assert np.all(ray_idx[starts[r]:starts[r] + counts[r]] == r)
+            assert np.all(valid[starts[r]:starts[r] + counts[r]])
+        total += len(ref)
+    # samples beyond the used range must be flagged invalid
+    assert not valid[total:].any()
+    assert int(res.rm_samples) == total
+
+
+def test_march_train_budget_striding():
+    """When demand exceeds m_cap, allocations shrink and deltas scale."""
+    occ = np.ones((1, GRID, GRID, GRID), np.uint8)  # fully occupied
+    N = 8
+    rays_o = np.tile([0.0, 0.0, -1.2], (N, 1)).astype(np.float32)
+    rays_d = np.tile([0.0, 0.0, 1.0], (N, 1)).astype(np.float32)
+    hits = np.asarray(ray_aabb_intersect_single(
+        jnp.asarray(rays_o), jnp.asarray(rays_d), jnp.zeros(3),
+        jnp.full(3, SCALE)))
+    res = march_rays_train(jnp.asarray(rays_o), jnp.asarray(rays_d),
+                           jnp.asarray(hits), jnp.asarray(occ).reshape(-1),
+                           jnp.zeros(N), **march_kwargs(m_cap=256, s_cap=256))
+    counts = np.asarray(res.counts)
+    assert counts.sum() <= 256
+    assert (counts > 0).all()          # every ray keeps coverage
+    # per-sample deltas inflate by the stride to preserve optical depth
+    dt_min = SQRT3 / MAXS
+    used = np.asarray(res.valid)
+    assert np.all(np.asarray(res.deltas)[used] > dt_min * 1.5)
+    # ts still strictly increasing within each ray
+    starts = np.asarray(res.ray_start)
+    ts = np.asarray(res.ts)
+    for r in range(N):
+        seg = ts[starts[r]:starts[r] + counts[r]]
+        assert np.all(np.diff(seg) > 0)
+
+
+def test_march_empty_grid_gives_no_samples():
+    occ = np.zeros((1, GRID, GRID, GRID), np.uint8)
+    rays_o = np.asarray([[0.0, 0.0, -1.2]], np.float32)
+    rays_d = np.asarray([[0.0, 0.0, 1.0]], np.float32)
+    hits = np.asarray(ray_aabb_intersect_single(
+        jnp.asarray(rays_o), jnp.asarray(rays_d), jnp.zeros(3),
+        jnp.full(3, SCALE)))
+    res = march_rays_train(jnp.asarray(rays_o), jnp.asarray(rays_d),
+                           jnp.asarray(hits), jnp.asarray(occ).reshape(-1),
+                           jnp.zeros(1), **march_kwargs())
+    assert int(res.rm_samples) == 0
+    assert not np.asarray(res.valid).any()
+
+
+def np_composite(sigmas, rgbs, deltas, ts, segs, T_thr):
+    """Serial reference of composite_train_fw_kernel (volumerendering.cu:5-44)."""
+    N = len(segs)
+    opacity = np.zeros(N)
+    depth = np.zeros(N)
+    rgb = np.zeros((N, 3))
+    ws = np.zeros(len(sigmas))
+    vr = 0
+    for r, (start, cnt) in enumerate(segs):
+        T = 1.0
+        for s in range(start, start + cnt):
+            a = 1 - np.exp(-sigmas[s] * deltas[s])
+            w = a * T
+            rgb[r] += w * rgbs[s]
+            depth[r] += w * ts[s]
+            opacity[r] += w
+            ws[s] = w
+            T *= 1 - a
+            vr += 1
+            if T <= T_thr:
+                break
+    return opacity, depth, rgb, ws, vr
+
+
+def random_segments(rng, N, M):
+    counts = rng.integers(0, 12, size=N)
+    while counts.sum() > M:
+        counts = rng.integers(0, 12, size=N)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int32)
+    total = counts.sum()
+    ray_idx = np.zeros(M, np.int32)
+    valid = np.zeros(M, bool)
+    for r in range(N):
+        ray_idx[starts[r]:starts[r] + counts[r]] = r
+        valid[starts[r]:starts[r] + counts[r]] = True
+    ray_idx[total:] = N - 1
+    return counts.astype(np.int32), starts, ray_idx, valid
+
+
+def test_composite_train_matches_serial():
+    rng = np.random.default_rng(4)
+    N, M = 24, 256
+    counts, starts, ray_idx, valid = random_segments(rng, N, M)
+    sigmas = rng.uniform(0, 80, M).astype(np.float32)
+    rgbs = rng.uniform(0, 1, (M, 3)).astype(np.float32)
+    deltas = np.full(M, 0.01, np.float32)
+    ts = rng.uniform(0.1, 2.0, M).astype(np.float32)
+    T_thr = 1e-4
+
+    out = composite_train(jnp.asarray(sigmas), jnp.asarray(rgbs),
+                          jnp.asarray(deltas), jnp.asarray(ts),
+                          jnp.asarray(ray_idx), jnp.asarray(valid),
+                          jnp.asarray(starts), jnp.asarray(counts), T_thr)
+    ref_o, ref_d, ref_rgb, ref_ws, ref_vr = np_composite(
+        sigmas, rgbs, deltas, ts, list(zip(starts, counts)), T_thr)
+    assert np.allclose(np.asarray(out.opacity), ref_o, atol=1e-5)
+    assert np.allclose(np.asarray(out.depth), ref_d, atol=1e-5)
+    assert np.allclose(np.asarray(out.rgb), ref_rgb, atol=1e-5)
+    assert np.allclose(np.asarray(out.ws), ref_ws, atol=1e-5)
+    assert int(out.vr_samples) == ref_vr
+
+
+def test_composite_gradients_match_finite_differences():
+    rng = np.random.default_rng(5)
+    N, M = 6, 48
+    counts, starts, ray_idx, valid = random_segments(rng, N, M)
+    sigmas = jnp.asarray(rng.uniform(0.5, 20, M).astype(np.float32))
+    rgbs = jnp.asarray(rng.uniform(0, 1, (M, 3)).astype(np.float32))
+    deltas = jnp.full((M,), 0.02)
+    ts = jnp.asarray(np.sort(rng.uniform(0.1, 2.0, M)).astype(np.float32))
+    args = (jnp.asarray(ray_idx), jnp.asarray(valid), jnp.asarray(starts),
+            jnp.asarray(counts))
+
+    def loss(sig, rgb):
+        out = composite_train(sig, rgb, deltas, ts, *args, 1e-4)
+        return jnp.sum(out.rgb ** 2) + jnp.sum(out.opacity) + jnp.sum(out.depth * 0.1)
+
+    gs, gr = jax.grad(loss, argnums=(0, 1))(sigmas, rgbs)
+    v = jax.random.normal(jax.random.PRNGKey(0), sigmas.shape)
+    eps = 3e-3
+    fd = (loss(sigmas + eps * v, rgbs) - loss(sigmas - eps * v, rgbs)) / (2 * eps)
+    assert np.isclose(float(fd), float(jnp.vdot(gs, v)), rtol=3e-2, atol=1e-4)
+    vr = jax.random.normal(jax.random.PRNGKey(1), rgbs.shape)
+    fdr = (loss(sigmas, rgbs + eps * vr) - loss(sigmas, rgbs - eps * vr)) / (2 * eps)
+    assert np.isclose(float(fdr), float(jnp.vdot(gr, vr)), rtol=3e-2, atol=1e-4)
+
+
+def test_distortion_loss_matches_quadratic_form():
+    """Prefix-sum formulation == O(n^2) double sum
+    sum_ij w_i w_j |t_i - t_j| + 1/3 sum w^2 delta."""
+    rng = np.random.default_rng(6)
+    N, M = 8, 64
+    counts, starts, ray_idx, valid = random_segments(rng, N, M)
+    ws = rng.uniform(0, 0.2, M).astype(np.float32) * valid
+    deltas = np.full(M, 0.01, np.float32)
+    ts = np.sort(rng.uniform(0.1, 2.0, M)).astype(np.float32)
+
+    got = np.asarray(distortion_loss(
+        jnp.asarray(ws), jnp.asarray(deltas), jnp.asarray(ts),
+        jnp.asarray(ray_idx), jnp.asarray(valid), jnp.asarray(starts),
+        jnp.asarray(counts)))
+    for r in range(N):
+        sl = slice(starts[r], starts[r] + counts[r])
+        w, t, d = ws[sl], ts[sl], deltas[sl]
+        ref = np.sum(w[:, None] * w[None, :] * np.abs(t[:, None] - t[None, :]))
+        ref += np.sum(w ** 2 * d) / 3
+        assert np.isclose(got[r], ref, rtol=1e-4, atol=1e-7), r
+
+
+def test_march_test_incremental_covers_ray():
+    """Repeated test-marching rounds + incremental compositing must match a
+    single-shot train-march + composite on the same scene."""
+    occ = make_sphere_grid()
+    N = 4
+    rays_o = np.tile([0.0, 0.0, -1.2], (N, 1)).astype(np.float32)
+    dirs = np.asarray([[0, 0, 1], [0.08, 0, 1], [0, 0.12, 1], [0.3, 0.3, 1]],
+                      np.float32)
+    rays_d = dirs / np.linalg.norm(dirs, axis=1, keepdims=True)
+    hits = np.asarray(ray_aabb_intersect_single(
+        jnp.asarray(rays_o), jnp.asarray(rays_d), jnp.zeros(3),
+        jnp.full(3, SCALE)))
+
+    # constant field: sigma=25, rgb=(.2,.5,.8)
+    sig_val, rgb_val = 25.0, np.array([0.2, 0.5, 0.8], np.float32)
+
+    # single shot (train path)
+    res = march_rays_train(jnp.asarray(rays_o), jnp.asarray(rays_d),
+                           jnp.asarray(hits), jnp.asarray(occ).reshape(-1),
+                           jnp.zeros(N), **march_kwargs(s_cap=256, m_cap=1024))
+    out = composite_train(jnp.full(res.ts.shape, sig_val),
+                          jnp.tile(rgb_val, (res.ts.shape[0], 1)),
+                          res.deltas, res.ts, res.ray_idx, res.valid,
+                          res.ray_start, res.counts, 1e-4)
+
+    # incremental (test path)
+    t_cur = jnp.asarray(hits[:, 0])
+    t2 = jnp.asarray(hits[:, 1])
+    opacity = jnp.zeros(N)
+    depth = jnp.zeros(N)
+    rgb = jnp.zeros((N, 3))
+    for _ in range(40):
+        xyzs, deltas, ts, n_eff, t_cur = march_rays_test(
+            jnp.asarray(rays_o), jnp.asarray(rays_d), t_cur, t2,
+            jnp.asarray(occ).reshape(-1), scale=SCALE, cascades=1,
+            exp_step_factor=0.0, grid_size=GRID, max_samples=MAXS,
+            n_candidates=64, n_samples=16)
+        S = ts.shape[1]
+        opacity, depth, rgb, alive = composite_test_step(
+            jnp.full((N, S), sig_val),
+            jnp.tile(rgb_val, (N, S, 1)), deltas, ts, n_eff,
+            opacity, depth, rgb, 1e-4)
+        if not bool(jnp.any(alive & (t_cur < t2))):
+            break
+
+    assert np.allclose(np.asarray(opacity), np.asarray(out.opacity), atol=2e-3)
+    assert np.allclose(np.asarray(rgb), np.asarray(out.rgb), atol=2e-3)
+    assert np.allclose(np.asarray(depth), np.asarray(out.depth), atol=5e-3)
