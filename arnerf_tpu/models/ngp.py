@@ -1,0 +1,296 @@
+"""The NGP radiance field + occupancy-grid maintenance, functional style.
+
+TPU-native rebuild of the reference's `NGP` nn.Module
+(reference: models/networks.py:12-281). The model is a pure function of a
+params pytree; the occupancy grid is an explicit `GridState` pytree updated
+by pure functions — both live on device and are threaded through the jitted
+training step.
+
+Components and their reference counterparts:
+  * hash-grid + sigma MLP ............. tcnn NetworkWithInputEncoding
+                                        (networks.py:37-57)
+  * SH deg-4 direction encoding ....... tcnn SphericalHarmonics (:59-66)
+  * rgb MLP (64x2, sigmoid/none) ...... tcnn FullyFusedMLP (:68-78)
+  * per-channel tonemapper MLPs ....... HDR-NeRF heads (:80-93)
+  * density / forward ................. (:95-165)
+  * get_all_cells / sampling .......... (:167-207)
+  * mark_invisible_cells .............. (:209-250)
+  * update_density_grid + packbits .... (:252-281)
+"""
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.hashgrid import (HashGridConfig, hashgrid_init, hashgrid_encode,
+                            ngp_growth_factor)
+from ..ops.sh import sh_encode
+from ..ops.trunc_exp import trunc_exp
+from ..ops.packbits import packbits
+from .mlp import mlp_init, mlp_apply
+
+NEAR_DISTANCE = 0.01  # reference: models/rendering.py:10
+
+
+@dataclass(frozen=True)
+class NGPConfig:
+    scale: float = 0.5
+    rgb_act: str = "Sigmoid"        # 'Sigmoid' | 'None' (HDR log-radiance)
+    use_raw_hdr: bool = False
+    grid_size: int = 128
+    n_levels: int = 16
+    n_features: int = 2
+    log2_hashmap_size: int = 19
+    base_resolution: int = 16
+    sigma_hidden: int = 64
+    sigma_out: int = 16
+    rgb_hidden: int = 64
+
+    @property
+    def cascades(self) -> int:
+        # reference: models/networks.py:27
+        return max(1 + int(np.ceil(np.log2(2 * self.scale))), 1)
+
+    @property
+    def hash_cfg(self) -> HashGridConfig:
+        return HashGridConfig(
+            n_levels=self.n_levels, n_features=self.n_features,
+            log2_hashmap_size=self.log2_hashmap_size,
+            base_resolution=self.base_resolution,
+            per_level_scale=ngp_growth_factor(
+                self.scale, self.n_levels, self.base_resolution))
+
+    @property
+    def has_tonemappers(self) -> bool:
+        # reference: models/networks.py:80
+        return self.rgb_act == "None" and not self.use_raw_hdr
+
+
+def ngp_init(key, cfg: NGPConfig) -> dict:
+    k_hash, k_sig, k_rgb, k_tm = jax.random.split(key, 4)
+    params = {
+        "hash_table": hashgrid_init(k_hash, cfg.hash_cfg),
+        # 32 -> 64 -> 16; first output channel is the (log) density
+        "sigma_mlp": mlp_init(k_sig, cfg.hash_cfg.out_dim, cfg.sigma_hidden,
+                              cfg.sigma_out, 1),
+        # (16 SH + 16 feat) -> 64 -> 64 -> 3
+        "rgb_mlp": mlp_init(k_rgb, 16 + cfg.sigma_out, cfg.rgb_hidden, 3, 2),
+    }
+    if cfg.has_tonemappers:
+        params["tonemappers"] = [
+            mlp_init(k, 1, 64, 1, 1) for k in jax.random.split(k_tm, 3)]
+    return params
+
+
+@partial(jax.jit, static_argnames=("cfg", "return_feat"))
+def ngp_density(params, x, cfg: NGPConfig, return_feat: bool = False):
+    """x: (N, 3) world positions in [-scale, scale]^3 -> sigmas (N,).
+
+    reference: models/networks.py:95-108.
+    """
+    xn = (x + cfg.scale) / (2 * cfg.scale)
+    feats = hashgrid_encode(params["hash_table"], xn, cfg.hash_cfg)
+    h = mlp_apply(params["sigma_mlp"], feats)
+    sigmas = trunc_exp(h[:, 0])
+    if return_feat:
+        return sigmas, h
+    return sigmas
+
+
+def ngp_log_radiance_to_rgb(params, log_radiances, exposure=None):
+    """HDR-NeRF tonemapping heads. reference: models/networks.py:110-131."""
+    log_exposure = 0.0 if exposure is None else jnp.log(exposure)
+    outs = []
+    for i in range(3):
+        inp = log_radiances[:, i:i + 1] + log_exposure
+        outs.append(mlp_apply(params["tonemappers"][i], inp,
+                              out_activation="sigmoid"))
+    return jnp.concatenate(outs, axis=1)
+
+
+@partial(jax.jit, static_argnames=("cfg", "output_radiance"))
+def ngp_forward(params, x, d, cfg: NGPConfig, exposure=None,
+                output_radiance: bool = False):
+    """x, d: (N, 3) -> (sigmas (N,), rgbs (N, 3)).
+
+    reference: models/networks.py:133-165.
+    """
+    sigmas, h = ngp_density(params, x, cfg, return_feat=True)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True).clip(1e-12)
+    d_enc = sh_encode(d)
+    rgb_in = jnp.concatenate([d_enc, h], axis=1)
+    act = "sigmoid" if cfg.rgb_act == "Sigmoid" else None
+    rgbs = mlp_apply(params["rgb_mlp"], rgb_in, out_activation=act)
+
+    if cfg.use_raw_hdr:
+        # raw-HDR EXR training: leaky relu in training, relu for final output
+        rgbs = jax.nn.relu(rgbs) if output_radiance else jax.nn.leaky_relu(rgbs)
+    elif cfg.rgb_act == "None":
+        if output_radiance:  # HDR map output
+            rgbs = trunc_exp(jnp.clip(rgbs, 0.0, 20.0))
+        else:                # LDR via the tonemapper heads
+            rgbs = ngp_log_radiance_to_rgb(params, rgbs, exposure)
+    return sigmas, rgbs
+
+
+# --------------------------------------------------------------------------
+# Occupancy grid
+# --------------------------------------------------------------------------
+
+class GridState(NamedTuple):
+    density_grid: jnp.ndarray  # (C, G^3) float32; -1 marks invisible cells
+    count_grid: jnp.ndarray    # (C, G^3) float32 camera-coverage fraction
+    occ_flat: jnp.ndarray      # (C*G^3,) uint8 0/1, marching layout [c,x,y,z]
+    bitfield: jnp.ndarray      # (C*G^3//8,) uint8 packed (parity artifact)
+
+
+def grid_state_init(cfg: NGPConfig) -> GridState:
+    C, G3 = cfg.cascades, cfg.grid_size ** 3
+    return GridState(
+        density_grid=jnp.zeros((C, G3), jnp.float32),
+        count_grid=jnp.zeros((C, G3), jnp.float32),
+        occ_flat=jnp.zeros((C * G3,), jnp.uint8),
+        bitfield=jnp.zeros((C * G3 // 8,), jnp.uint8),
+    )
+
+
+def _cell_coords(idx, G: int):
+    """Linear cell index -> integer (x, y, z), layout [x, y, z] row-major
+    (matches ops/marching.py's flat index ((c*G + x)*G + y)*G + z)."""
+    x = idx // (G * G)
+    y = (idx // G) % G
+    z = idx % G
+    return jnp.stack([x, y, z], axis=-1)
+
+
+def _cells_to_world(coords, mip, cfg: NGPConfig, key=None):
+    """Grid coords (+ optional in-cell jitter) -> world xyz for cascade mip.
+
+    reference: models/networks.py:263-267.
+    """
+    G = cfg.grid_size
+    s = jnp.minimum(jnp.exp2(mip.astype(jnp.float32) - 1.0), cfg.scale)
+    half = s / G
+    xyz = coords.astype(jnp.float32) / (G - 1) * 2.0 - 1.0
+    xyz = xyz * (s - half)[..., None]
+    if key is not None:
+        xyz = xyz + (jax.random.uniform(key, xyz.shape) * 2.0 - 1.0) * half[..., None]
+    return xyz
+
+
+def _chunked_density(params, cfg: NGPConfig, xyz, chunk: int = 1 << 18):
+    """Evaluate ngp_density over a large point set in fixed-size chunks."""
+    n = xyz.shape[0]
+    n_pad = (-n) % chunk
+    xyz_p = jnp.concatenate([xyz, jnp.zeros((n_pad, 3), xyz.dtype)])
+    xs = xyz_p.reshape(-1, chunk, 3)
+    sig = jax.lax.map(lambda c: ngp_density(params, c, cfg), xs)
+    return sig.reshape(-1)[:n]
+
+
+@partial(jax.jit, static_argnames=("cfg", "img_w", "img_h"))
+def mark_invisible_cells(state: GridState, K, poses, cfg: NGPConfig,
+                         img_w: int, img_h: int) -> GridState:
+    """Flag cells outside every camera frustum with density -1 (never
+    occupied); store per-cell camera-coverage in count_grid.
+
+    reference: models/networks.py:209-250.
+    """
+    G, C = cfg.grid_size, cfg.cascades
+    G3 = G ** 3
+    N_cams = poses.shape[0]
+    w2c_R = jnp.swapaxes(poses[:, :3, :3], 1, 2)          # (N, 3, 3)
+    w2c_T = -jnp.einsum("nij,nj->ni", w2c_R, poses[:, :3, 3])  # (N, 3)
+
+    idx = jnp.arange(G3, dtype=jnp.int32)
+    coords = _cell_coords(idx, G)                          # (G^3, 3)
+
+    def per_cascade(c):
+        mip = jnp.full((G3,), c, jnp.int32)
+        xyz = _cells_to_world(coords, mip, cfg)            # (G^3, 3)
+
+        def per_chunk(x):
+            # x: (chunk, 3) world points
+            xc = jnp.einsum("nij,mj->nmi", w2c_R, x) + w2c_T[:, None, :]
+            uvd = jnp.einsum("ij,nmj->nmi", K, xc)         # (N, m, 3)
+            uv = uvd[..., :2] / jnp.where(jnp.abs(uvd[..., 2:]) > 1e-9,
+                                          uvd[..., 2:], 1e-9)
+            in_image = ((uvd[..., 2] >= 0)
+                        & (uv[..., 0] >= 0) & (uv[..., 0] < img_w)
+                        & (uv[..., 1] >= 0) & (uv[..., 1] < img_h))
+            covered = (uvd[..., 2] >= NEAR_DISTANCE) & in_image
+            count = jnp.sum(covered, axis=0) / N_cams      # (m,)
+            too_near = jnp.any((uvd[..., 2] < NEAR_DISTANCE) & in_image, axis=0)
+            return count, too_near
+
+        chunk = min(1 << 16, G3)  # G^3 is a power of two -> evenly divides
+        count, too_near = jax.lax.map(
+            per_chunk, xyz.reshape(-1, chunk, 3))
+        count = count.reshape(-1)
+        too_near = too_near.reshape(-1)
+        valid = (count > 0) & (~too_near)
+        return count, jnp.where(valid, 0.0, -1.0)
+
+    counts, grids = jax.lax.map(per_cascade, jnp.arange(C))
+    return state._replace(density_grid=grids, count_grid=counts)
+
+
+@partial(jax.jit, static_argnames=("cfg", "warmup", "erode"),
+         donate_argnames=("state",))
+def update_density_grid(params, state: GridState, key, cfg: NGPConfig,
+                        density_threshold: float, warmup: bool,
+                        decay: float = 0.95, erode: bool = False) -> GridState:
+    """EMA density-grid maintenance. reference: models/networks.py:252-281.
+
+    warmup: evaluate ALL cells. Otherwise sample G^3/4 uniform cells plus
+    G^3/4 cells drawn from the currently-occupied set, per cascade (the
+    occupied draw is with replacement — a scatter-max makes duplicate cells
+    benign, unlike the reference's nondeterministic last-write-wins).
+    """
+    G, C = cfg.grid_size, cfg.cascades
+    G3 = G ** 3
+    k_sample, k_jitter = jax.random.split(key)
+
+    if warmup:
+        idx = jnp.broadcast_to(jnp.arange(G3, dtype=jnp.int32), (C, G3))
+    else:
+        M = G3 // 4
+        ku, ko = jax.random.split(k_sample)
+        uniform_idx = jax.random.randint(ku, (C, M), 0, G3, jnp.int32)
+        # occupied draw: categorical over cells above threshold
+        logits = jnp.where(state.density_grid > density_threshold, 0.0, -1e9)
+        occ_idx = jax.random.categorical(ko, logits, axis=-1, shape=(C, M))
+        idx = jnp.concatenate([uniform_idx, occ_idx.astype(jnp.int32)], axis=1)
+
+    coords = _cell_coords(idx, G)                              # (C, m, 3)
+    mips = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[:, None],
+                            idx.shape)
+    xyz = _cells_to_world(coords.reshape(-1, 3), mips.reshape(-1), cfg,
+                          key=k_jitter)
+    sig = _chunked_density(params, cfg, xyz).reshape(idx.shape)  # (C, m)
+
+    tmp = jnp.zeros((C, G3), jnp.float32)
+    tmp = tmp.at[mips.reshape(-1), idx.reshape(-1)].max(sig.reshape(-1))
+
+    if erode:
+        # decay harder where few cameras see the cell (reference :270-272)
+        decay_g = jnp.clip(decay ** (1.0 / jnp.maximum(state.count_grid, 1e-6)),
+                           0.1, 0.95)
+    else:
+        decay_g = decay
+    grid = jnp.where(state.density_grid < 0, state.density_grid,
+                     jnp.maximum(state.density_grid * decay_g, tmp))
+
+    pos = grid > 0
+    mean_density = jnp.sum(jnp.where(pos, grid, 0.0)) / jnp.maximum(
+        jnp.sum(pos), 1)
+    thr = jnp.minimum(mean_density, density_threshold)
+    occ = (grid > thr).astype(jnp.uint8)
+    return GridState(
+        density_grid=grid, count_grid=state.count_grid,
+        occ_flat=occ.reshape(-1),
+        bitfield=packbits(grid.reshape(-1), thr))

@@ -1,0 +1,202 @@
+"""Render orchestration: AABB clip -> march -> field eval -> composite.
+
+TPU-native rebuild of reference models/rendering.py. `render_train` is fully
+jittable (used inside the training step); `render_image` is the test-time
+path — an incremental march/composite loop over fixed-shape rounds
+(the reference's alive-ray while loop, rendering.py:191-233, with the
+dynamic alive-list replaced by masks and a lax.while_loop).
+"""
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .models.ngp import NGPConfig, ngp_forward
+from .ops.intersection import ray_aabb_intersect_single
+from .ops.marching import march_rays_train, march_rays_test
+from .ops.composite import composite_train, composite_test_step
+from .ops.stepping import SQRT3, num_lattice_steps
+
+MAX_SAMPLES = 1024   # reference: models/rendering.py:9
+NEAR_DISTANCE = 0.01
+
+
+def scene_hits(rays_o, rays_d, cfg: NGPConfig, mesh_depth_map=None):
+    """Scene-AABB intersection with the reference's near clamp
+    (rendering.py:29-31) and optional far clamp to an inserted mesh's depth
+    map for AR compositing (rendering.py:38-44)."""
+    hits = ray_aabb_intersect_single(rays_o, rays_d, jnp.zeros(3),
+                                     jnp.full(3, cfg.scale))
+    t1, t2 = hits[:, 0], hits[:, 1]
+    t1 = jnp.where((t1 >= 0) & (t1 < NEAR_DISTANCE), NEAR_DISTANCE, t1)
+    if mesh_depth_map is not None:
+        valid_depth = mesh_depth_map >= 1e-6
+        clamped = jnp.maximum(jnp.minimum(t2, mesh_depth_map), t1)
+        t2 = jnp.where(valid_depth, clamped, t2)
+    return jnp.stack([t1, t2], axis=-1)
+
+
+def default_candidates(cfg: NGPConfig, exp_step_factor: float,
+                      max_samples: int = MAX_SAMPLES) -> int:
+    """Static lattice length covering the scene diagonal from any start."""
+    diag = 2 * SQRT3 * cfg.scale
+    return num_lattice_steps(NEAR_DISTANCE, NEAR_DISTANCE + diag,
+                             exp_step_factor, max_samples, cfg.grid_size,
+                             cfg.scale)
+
+
+@partial(jax.jit, static_argnames=(
+    "cfg", "exp_step_factor", "T_threshold", "random_bg", "m_cap", "s_cap",
+    "max_samples"))
+def render_train(params, grid_state, rays_o, rays_d, key, cfg: NGPConfig, *,
+                 exp_step_factor: float = 0.0, T_threshold: float = 1e-4,
+                 random_bg: bool = False, m_cap: int = 256 * 1024,
+                 s_cap: int = MAX_SAMPLES, max_samples: int = MAX_SAMPLES,
+                 exposure=None, mesh_depth_map=None):
+    """Differentiable training-path render. Returns the reference's results
+    dict (rendering.py:255-298): rgb, opacity, depth, ws, deltas, ts +
+    segment layout + sample counters."""
+    k_noise, k_bg = jax.random.split(key)
+    hits = scene_hits(rays_o, rays_d, cfg, mesh_depth_map)
+    noise = jax.random.uniform(k_noise, (rays_o.shape[0],))
+    mr = march_rays_train(
+        rays_o, rays_d, hits, grid_state.occ_flat, noise,
+        scale=cfg.scale, cascades=cfg.cascades,
+        exp_step_factor=exp_step_factor, grid_size=cfg.grid_size,
+        max_samples=max_samples,
+        n_candidates=default_candidates(cfg, exp_step_factor, max_samples),
+        m_cap=m_cap, s_cap=s_cap)
+
+    sample_exposure = None
+    if exposure is not None:
+        sample_exposure = exposure[mr.ray_idx]
+    sigmas, rgbs = ngp_forward(params, mr.xyzs, mr.dirs + 1e-12, cfg,
+                               exposure=sample_exposure)
+
+    comp = composite_train(sigmas, rgbs, mr.deltas, mr.ts, mr.ray_idx,
+                           mr.valid, mr.ray_start, mr.counts, T_threshold)
+
+    # background blend (reference rendering.py:287-296)
+    if random_bg:
+        rgb_bg = jax.random.uniform(k_bg, (3,))
+    elif exp_step_factor == 0.0:
+        rgb_bg = jnp.ones(3)
+    else:
+        rgb_bg = jnp.zeros(3)
+    rgb = comp.rgb + rgb_bg[None, :] * (1.0 - comp.opacity[:, None])
+
+    return {
+        "rgb": rgb, "opacity": comp.opacity, "depth": comp.depth,
+        "ws": comp.ws, "deltas": mr.deltas, "ts": mr.ts,
+        "ray_idx": mr.ray_idx, "valid": mr.valid,
+        "ray_start": mr.ray_start, "counts": mr.counts,
+        "rm_samples": mr.rm_samples, "vr_samples": comp.vr_samples,
+    }
+
+
+@partial(jax.jit, static_argnames=(
+    "cfg", "exp_step_factor", "T_threshold", "max_samples", "n_candidates",
+    "samples_per_round", "output_radiance"))
+def render_test_chunk(params, grid_state, rays_o, rays_d, cfg: NGPConfig, *,
+                      exp_step_factor: float = 0.0, T_threshold: float = 1e-4,
+                      max_samples: int = MAX_SAMPLES, n_candidates: int = 512,
+                      samples_per_round: int = 32,
+                      output_radiance: bool = False, exposure=None,
+                      mesh_depth_map=None):
+    """Non-differentiable incremental render of one chunk of rays.
+
+    lax.while_loop over fixed-shape rounds; each round marches every
+    still-alive ray `samples_per_round` occupied samples forward and
+    composites in place — the reference's test loop with masks instead of a
+    shrinking alive list. Dead rays cost grid lookups but no extra memory;
+    a bucketed-compaction fast path can be added on top for interactive use.
+    """
+    N = rays_o.shape[0]
+    hits = scene_hits(rays_o, rays_d, cfg, mesh_depth_map)
+    t2 = hits[:, 1]
+
+    min_samples = 1 if exp_step_factor == 0 else 4  # reference parity
+
+    def cond(carry):
+        t_cur, opacity, depth, rgb, alive, rounds, total = carry
+        return jnp.any(alive) & (rounds * samples_per_round < max_samples)
+
+    def body(carry):
+        t_cur, opacity, depth, rgb, alive, rounds, total = carry
+        xyzs, deltas, ts, n_eff, t_next = march_rays_test(
+            rays_o, rays_d, t_cur, t2, grid_state.occ_flat,
+            scale=cfg.scale, cascades=cfg.cascades,
+            exp_step_factor=exp_step_factor, grid_size=cfg.grid_size,
+            max_samples=max_samples, n_candidates=n_candidates,
+            n_samples=samples_per_round)
+        n_eff = jnp.where(alive, n_eff, 0)
+        S = samples_per_round
+        flat_x = xyzs.reshape(N * S, 3)
+        flat_d = jnp.broadcast_to(rays_d[:, None, :], (N, S, 3)).reshape(-1, 3)
+        sample_exposure = None
+        if exposure is not None:
+            sample_exposure = jnp.broadcast_to(
+                exposure[:, None, :], (N, S, 1)).reshape(-1, 1)
+        sig, col = ngp_forward(params, flat_x, flat_d + 1e-12, cfg,
+                               exposure=sample_exposure,
+                               output_radiance=output_radiance)
+        sig = sig.reshape(N, S)
+        col = col.reshape(N, S, 3)
+        opacity, depth, rgb, still = composite_test_step(
+            sig, col, deltas, ts, n_eff, opacity, depth, rgb, T_threshold)
+        t_cur = jnp.where(alive, t_next, t_cur)
+        alive = alive & still & (t_cur < t2)
+        total = total + jnp.sum(n_eff)
+        return (t_cur, opacity, depth, rgb, alive, rounds + 1, total)
+
+    t_cur = hits[:, 0]
+    alive = t_cur >= 0
+    init = (jnp.where(alive, t_cur, t2 + 1.0), jnp.zeros(N), jnp.zeros(N),
+            jnp.zeros((N, 3)), alive, jnp.int32(0), jnp.int32(0))
+    t_cur, opacity, depth, rgb, alive, rounds, total = jax.lax.while_loop(
+        cond, body, init)
+    return {"opacity": opacity, "depth": depth, "rgb": rgb,
+            "total_samples": total}
+
+
+def render_test(params, grid_state, rays_o, rays_d, cfg: NGPConfig, *,
+                chunk: int = 1 << 16, sh_bkg=None, im_bkg=None,
+                blend_bkg: bool = True, **kwargs):
+    """Full test-time render, chunked over rays (host loop), with the
+    reference's background options (rendering.py:240-250): SH environment,
+    image background (AR insertion), or none."""
+    N = rays_o.shape[0]
+    outs = []
+    for i in range(0, N, chunk):
+        ro, rd = rays_o[i:i + chunk], rays_d[i:i + chunk]
+        n = ro.shape[0]
+        if n < chunk:  # pad to keep one compiled shape
+            pad = chunk - n
+            ro = jnp.concatenate([ro, jnp.zeros((pad, 3))])
+            rd = jnp.concatenate([rd, jnp.ones((pad, 3))])
+        kw = dict(kwargs)
+        if kw.get("exposure") is not None and kw["exposure"].shape[0] == N:
+            kw["exposure"] = kw["exposure"][i:i + chunk]
+        if kw.get("mesh_depth_map") is not None:
+            mdm = kw["mesh_depth_map"][i:i + chunk]
+            if n < chunk:
+                mdm = jnp.concatenate([mdm, jnp.zeros(chunk - n)])
+            kw["mesh_depth_map"] = mdm
+        res = render_test_chunk(params, grid_state, ro, rd, cfg, **kw)
+        outs.append({k: v[:n] for k, v in res.items() if k != "total_samples"}
+                    | {"total_samples": res["total_samples"]})
+    result = {k: jnp.concatenate([o[k] for o in outs])
+              for k in ("opacity", "depth", "rgb")}
+    result["total_samples"] = sum(int(o["total_samples"]) for o in outs)
+
+    if blend_bkg:
+        rgb_bg = jnp.zeros((N, 3))
+        if sh_bkg is not None:
+            from .insert.sh_math import get_sh_val
+            rgb_bg = get_sh_val(sh_bkg, rays_d, clamp_positive=True)
+        if im_bkg is not None:
+            rgb_bg = im_bkg
+        result["rgb"] = result["rgb"] + rgb_bg * (1.0 - result["opacity"][:, None])
+    return result

@@ -1,0 +1,128 @@
+"""NGP model + render orchestration smoke/correctness tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from arnerf_tpu.models import (
+    NGPConfig, ngp_init, ngp_density, ngp_forward,
+    grid_state_init, mark_invisible_cells, update_density_grid)
+from arnerf_tpu.rendering import render_train, render_test
+
+CFG = NGPConfig(scale=0.5, grid_size=32, n_levels=4, log2_hashmap_size=12,
+                base_resolution=4)
+
+
+def test_init_and_forward_shapes():
+    params = ngp_init(jax.random.PRNGKey(0), CFG)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (64, 3),
+                           minval=-0.5, maxval=0.5)
+    d = jax.random.normal(jax.random.PRNGKey(2), (64, 3))
+    sig = ngp_density(params, x, CFG)
+    assert sig.shape == (64,) and bool(jnp.all(sig > 0))
+    sig2, rgb = ngp_forward(params, x, d, CFG)
+    assert rgb.shape == (64, 3)
+    assert bool(jnp.all((rgb >= 0) & (rgb <= 1)))  # sigmoid output
+    np.testing.assert_allclose(np.asarray(sig), np.asarray(sig2), rtol=1e-6)
+
+
+def test_cascades_from_scale():
+    assert NGPConfig(scale=0.5).cascades == 1
+    assert NGPConfig(scale=1.0).cascades == 2
+    assert NGPConfig(scale=4.0).cascades == 4
+    assert NGPConfig(scale=64.0).cascades == 8
+
+
+def test_grid_update_warmup_and_sampling():
+    params = ngp_init(jax.random.PRNGKey(0), CFG)
+    state = grid_state_init(CFG)
+    state = update_density_grid(params, state, jax.random.PRNGKey(1), CFG,
+                                density_threshold=0.01, warmup=True)
+    # fresh random model: densities ~ exp(small MLP outputs) > 0 everywhere
+    assert float(jnp.max(state.density_grid)) > 0
+    assert state.occ_flat.shape == (CFG.cascades * CFG.grid_size ** 3,)
+    occ_before = int(jnp.sum(state.occ_flat))
+    assert occ_before > 0
+    # non-warmup pass with decay keeps the state consistent
+    state2 = update_density_grid(params, state, jax.random.PRNGKey(2), CFG,
+                                 density_threshold=0.01, warmup=False)
+    assert state2.density_grid.shape == state.density_grid.shape
+    # bitfield is the packed version of the occupancy decision
+    from arnerf_tpu.ops.packbits import unpackbits
+    bits = unpackbits(state2.bitfield)
+    assert np.array_equal(np.asarray(bits), np.asarray(state2.occ_flat))
+
+
+def test_mark_invisible_cells_marks_behind_camera():
+    state = grid_state_init(CFG)
+    # one camera at z=-1 looking +z: cells far behind it are invisible
+    pose = jnp.asarray([[[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, -1.0]]])
+    K = jnp.asarray([[100.0, 0, 32], [0, 100.0, 32], [0, 0, 1]])
+    state = mark_invisible_cells(state, K, pose, CFG, 64, 64)
+    grid = np.asarray(state.density_grid).reshape(CFG.cascades, 32, 32, 32)
+    # cell at x-center, y-center, z near +0.4 (in front, center fov): visible
+    assert grid[0, 16, 16, 28] == 0.0
+    # cell far off-axis near the camera plane (outside the ~18deg half-FOV)
+    assert grid[0, 1, 16, 1] == -1.0
+    assert np.all(np.asarray(state.count_grid) >= 0)
+
+
+def _rays_looking_at_origin(n=64):
+    rng = np.random.default_rng(0)
+    o = np.tile([0.0, 0.0, -1.2], (n, 1)).astype(np.float32)
+    tgt = rng.uniform(-0.2, 0.2, (n, 3)).astype(np.float32)
+    d = tgt - o
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+def test_render_train_runs_and_grads_flow():
+    params = ngp_init(jax.random.PRNGKey(0), CFG)
+    state = grid_state_init(CFG)
+    state = update_density_grid(params, state, jax.random.PRNGKey(1), CFG,
+                                density_threshold=0.01, warmup=True)
+    rays_o, rays_d = _rays_looking_at_origin(32)
+
+    def loss_fn(p):
+        out = render_train(p, state, rays_o, rays_d, jax.random.PRNGKey(2),
+                           CFG, m_cap=2048, s_cap=128, max_samples=256)
+        return jnp.mean((out["rgb"] - 0.5) ** 2), out
+
+    (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(loss))
+    assert out["rgb"].shape == (32, 3)
+    assert int(out["rm_samples"]) > 0
+    g_norm = sum(float(jnp.sum(jnp.abs(g))) for g in jax.tree.leaves(grads))
+    assert g_norm > 0
+
+
+def test_render_test_empty_grid_gives_background():
+    params = ngp_init(jax.random.PRNGKey(0), CFG)
+    state = grid_state_init(CFG)  # occupancy all zero
+    rays_o, rays_d = _rays_looking_at_origin(32)
+    out = render_test(params, state, rays_o, rays_d, CFG, chunk=32,
+                      n_candidates=128, samples_per_round=8, max_samples=256)
+    assert np.allclose(np.asarray(out["rgb"]), 0.0)
+    assert np.allclose(np.asarray(out["opacity"]), 0.0)
+
+
+def test_render_test_matches_render_train_on_solid_scene():
+    """With no early-stop pressure differences, the test path must agree
+    with the (non-strided) train path."""
+    params = ngp_init(jax.random.PRNGKey(0), CFG)
+    state = grid_state_init(CFG)
+    state = update_density_grid(params, state, jax.random.PRNGKey(1), CFG,
+                                density_threshold=0.01, warmup=True)
+    rays_o, rays_d = _rays_looking_at_origin(16)
+
+    tr = render_train(params, state, rays_o, rays_d, jax.random.PRNGKey(5),
+                      CFG, m_cap=16 * 256, s_cap=256, max_samples=256)
+    # render_train perturbs t1 with noise; redo with a key that still
+    # perturbs — compare against test path only loosely (sub-step jitter)
+    te = render_test(params, state, rays_o, rays_d, CFG, chunk=16,
+                     n_candidates=128, samples_per_round=16, max_samples=256)
+    # background differs (train blends white for synthetic); compare raw
+    raw_train_rgb = np.asarray(tr["rgb"]) - (1 - np.asarray(tr["opacity"]))[:, None]
+    assert np.allclose(np.asarray(te["opacity"]), np.asarray(tr["opacity"]),
+                       atol=0.05)
+    assert np.allclose(np.asarray(te["rgb"]), raw_train_rgb, atol=0.05)
