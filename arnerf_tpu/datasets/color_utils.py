@@ -1,0 +1,44 @@
+"""Image reading + color-space helpers (reference datasets/color_utils.py)."""
+
+import os
+os.environ['OPENCV_IO_ENABLE_OPENEXR'] = '1'  # must precede cv2 import
+
+import numpy as np
+
+
+def srgb_to_linear(img):
+    limit = 0.04045
+    return np.where(img > limit, ((img + 0.055) / 1.055) ** 2.4, img / 12.92)
+
+
+def linear_to_srgb(img):
+    limit = 0.0031308
+    img = np.where(img > limit, 1.055 * img ** (1 / 2.4) - 0.055, 12.92 * img)
+    img[img > 1] = 1  # "clamp" tonemapper
+    return img
+
+
+def read_image(img_path, img_wh, blend_a=True, exr_file=False):
+    """Load an image to a flattened (H*W, C) float32 array.
+
+    LDR: [0,1] with alpha blended to white (blend_a) or premultiplied.
+    EXR: linear HDR via OpenCV (reference color_utils.py:22-41).
+    """
+    import cv2
+    if exr_file:
+        img = cv2.imread(img_path, cv2.IMREAD_UNCHANGED)
+        if img.shape[2] == 4:
+            img = img[..., :3] * img[..., -1:]
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32)
+    else:
+        import imageio.v2 as imageio
+        img = imageio.imread(img_path).astype(np.float32) / 255.0
+    if img.ndim == 2:
+        img = np.repeat(img[..., None], 3, axis=-1)
+    if img.shape[2] == 4:  # blend A to RGB
+        if blend_a:
+            img = img[..., :3] * img[..., -1:] + (1 - img[..., -1:])
+        else:
+            img = img[..., :3] * img[..., -1:]
+    img = cv2.resize(img, img_wh)
+    return img.reshape(-1, img.shape[-1]).astype(np.float32)

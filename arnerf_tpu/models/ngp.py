@@ -261,9 +261,19 @@ def update_density_grid(params, state: GridState, key, cfg: NGPConfig,
         M = G3 // 4
         ku, ko = jax.random.split(k_sample)
         uniform_idx = jax.random.randint(ku, (C, M), 0, G3, jnp.int32)
-        # occupied draw: categorical over cells above threshold
-        logits = jnp.where(state.density_grid > density_threshold, 0.0, -1e9)
-        occ_idx = jax.random.categorical(ko, logits, axis=-1, shape=(C, M))
+        # occupied draw by inverse-CDF over the occupancy indicator
+        # (NOT jax.random.categorical/choice: those materialize an
+        # (M, G^3) gumbel tensor)
+        from ..ops.marching import _lower_bound_rows
+        occ_ind = (state.density_grid > density_threshold).astype(jnp.float32)
+        cdf = jnp.cumsum(occ_ind, axis=-1)                    # (C, G3)
+        totals = cdf[:, -1:]
+        u = jax.random.uniform(ko, (C, M)) * jnp.maximum(totals, 1e-9)
+        rows = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[:, None],
+                                (C, M))
+        occ_idx = _lower_bound_rows(cdf.reshape(-1), rows.reshape(-1),
+                                    u.reshape(-1), G3).reshape(C, M)
+        occ_idx = jnp.minimum(occ_idx, G3 - 1)
         idx = jnp.concatenate([uniform_idx, occ_idx.astype(jnp.int32)], axis=1)
 
     coords = _cell_coords(idx, G)                              # (C, m, 3)

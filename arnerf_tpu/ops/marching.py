@@ -51,11 +51,12 @@ def _lower_bound_rows(c_flat, rows, queries, K: int):
     """For each (row, q): smallest j in [0, K) with c[row, j] >= q.
 
     c_flat: (N*K,) row-major values, nondecreasing within each row.
-    rows, queries: (M,) int32. Returns (M,) int32 (== K if no such j).
+    rows: (M,) int32; queries: (M,) int or float (compared against c values).
+    Returns (M,) int32 (== K if no such j).
     Branchless binary search: log2(K) rounds of one gather each.
     """
-    lo = jnp.zeros_like(queries)
-    hi = jnp.full_like(queries, K)
+    lo = jnp.zeros(queries.shape, jnp.int32)
+    hi = jnp.full(queries.shape, K, jnp.int32)
     n_iter = max(1, K.bit_length())  # search space is [0, K] inclusive
     base = rows * K
     for _ in range(n_iter):

@@ -1,0 +1,42 @@
+"""Data-parallel training step via shard_map over a 1-D mesh.
+
+Replaces the reference's DDP gradient all-reduce (implicit in Lightning's
+DDPPlugin, reference train.py:286-291) with an explicit lax.pmean inside a
+single SPMD program. Semantics match the reference's multi-GPU behavior:
+each device samples its OWN batch_size rays (per-device RNG), so N devices
+mean an N-fold effective ray batch (reference datasets/base.py:25-31 runs
+independently per DDP rank).
+
+Everything except the per-device RNG key is replicated; outputs (params,
+opt_state, metrics) are identical on all devices by construction
+(pmean-joined grads -> identical updates), declared with replicated
+out_specs.
+"""
+
+from functools import partial
+
+import jax
+from jax.sharding import PartitionSpec as P
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+
+
+def make_dp_train_step(mesh, train_step_impl, kw):
+    axis = mesh.axis_names[0]
+    fn = partial(train_step_impl, axis_name=axis, **kw)
+
+    def local_step(params, opt_state, grid_state, images, poses, directions,
+                   keys, step):
+        # keys arrives as this device's (1, 2) shard -> its private key
+        return fn(params, opt_state, grid_state, images, poses, directions,
+                  keys[0], step)
+
+    rep = P()
+    mapped = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(rep, rep, rep, rep, rep, rep, P(axis), rep),
+        out_specs=(rep, rep, rep),
+        check_rep=False)
+    return jax.jit(mapped, donate_argnums=(0, 1))

@@ -168,6 +168,7 @@ def render_test(params, grid_state, rays_o, rays_d, cfg: NGPConfig, *,
     reference's background options (rendering.py:240-250): SH environment,
     image background (AR insertion), or none."""
     N = rays_o.shape[0]
+    chunk = min(chunk, N)
     outs = []
     for i in range(0, N, chunk):
         ro, rd = rays_o[i:i + chunk], rays_d[i:i + chunk]

@@ -1,0 +1,89 @@
+"""Checkpoint save/load (reference utils.py:21-39 + Lightning ModelCheckpoint).
+
+Plain .npz with path-flattened pytree keys — dependency-free, exact, and
+inspectable. `slim_ckpt` mirrors the reference's distribution checkpoints:
+model weights only, grid/optimizer state dropped (utils.py:29-39).
+"""
+
+import os
+import pickle
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, f"{prefix}{i}/"))
+    elif tree is None:
+        pass
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def save_ckpt(path, *, params, grid_state=None, opt_state=None, step=0,
+              extra=None):
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    blobs = {"step": np.asarray(step)}
+    blobs.update(_flatten(params, "params/"))
+    if grid_state is not None:
+        blobs.update(_flatten(grid_state._asdict(), "grid/"))
+    if opt_state is not None:
+        leaves, treedef = jax.tree.flatten(opt_state)
+        for i, leaf in enumerate(leaves):
+            blobs[f"opt/{i}"] = np.asarray(leaf)
+        blobs["opt_treedef"] = np.frombuffer(
+            pickle.dumps(treedef), dtype=np.uint8)
+    if extra:
+        blobs.update(_flatten(extra, "extra/"))
+    np.savez(path, **blobs)
+
+
+def _unflatten_into(template, blobs, prefix):
+    """Rebuild arrays into the same structure as `template`."""
+    if isinstance(template, dict):
+        return {k: _unflatten_into(v, blobs, f"{prefix}{k}/")
+                for k, v in template.items()}
+    if isinstance(template, (list, tuple)):
+        seq = [_unflatten_into(v, blobs, f"{prefix}{i}/")
+               for i, v in enumerate(template)]
+        return type(template)(seq)
+    key = prefix[:-1]
+    return jnp.asarray(blobs[key]) if key in blobs else template
+
+
+def load_ckpt(path, *, params_template, grid_template=None,
+              opt_state_template=None):
+    """Load into the shapes of the provided templates. Returns
+    (params, grid_state, opt_state, step); missing pieces pass the template
+    through (so slim checkpoints load cleanly, like reference load_ckpt's
+    prefix filtering)."""
+    blobs = dict(np.load(path, allow_pickle=False))
+    params = _unflatten_into(params_template, blobs, "params/")
+    grid_state = grid_template
+    if grid_template is not None and "grid/density_grid" in blobs:
+        gd = _unflatten_into(grid_template._asdict(), blobs, "grid/")
+        grid_state = type(grid_template)(**gd)
+    opt_state = opt_state_template
+    if opt_state_template is not None and "opt_treedef" in blobs:
+        treedef = pickle.loads(blobs["opt_treedef"].tobytes())
+        leaves = [jnp.asarray(blobs[f"opt/{i}"])
+                  for i in range(treedef.num_leaves)]
+        opt_state = jax.tree.unflatten(treedef, leaves)
+    step = int(blobs.get("step", 0))
+    return params, grid_state, opt_state, step
+
+
+def slim_ckpt(path_in, path_out):
+    """Strip a checkpoint to model weights only (reference utils.py:29-39)."""
+    blobs = dict(np.load(path_in, allow_pickle=False))
+    keep = {k: v for k, v in blobs.items() if k.startswith("params/")}
+    keep["step"] = blobs.get("step", np.asarray(0))
+    np.savez(path_out, **keep)

@@ -1,0 +1,71 @@
+"""Image quality metrics, pure JAX (reference uses torchmetrics,
+train.py:68-74). LPIPS is provided via the CPU torch path when available
+(gated — heavy dependency), matching --eval_lpips."""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def mse(pred, gt):
+    return jnp.mean((pred - gt) ** 2)
+
+
+def psnr(pred, gt, data_range: float = 1.0):
+    return 10.0 * jnp.log10(data_range ** 2 / mse(pred, gt))
+
+
+def _gaussian_kernel(size=11, sigma=1.5):
+    x = np.arange(size) - size // 2
+    g = np.exp(-(x ** 2) / (2 * sigma ** 2))
+    return jnp.asarray(g / g.sum(), jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("data_range",))
+def ssim(pred, gt, data_range: float = 1.0):
+    """Standard SSIM, 11x11 gaussian window, per-channel mean.
+    pred, gt: (H, W, C) in [0, data_range]."""
+    k = _gaussian_kernel()
+    C1 = (0.01 * data_range) ** 2
+    C2 = (0.03 * data_range) ** 2
+
+    def blur(img):  # separable gaussian, same-size valid windowing
+        img = jnp.moveaxis(img, -1, 0)  # (C, H, W)
+        img = jax.vmap(lambda ch: jnp.apply_along_axis(
+            lambda row: jnp.convolve(row, k, mode="valid"), 1, ch))(img)
+        img = jax.vmap(lambda ch: jnp.apply_along_axis(
+            lambda col: jnp.convolve(col, k, mode="valid"), 0, ch))(img)
+        return jnp.moveaxis(img, 0, -1)
+
+    mu_p, mu_g = blur(pred), blur(gt)
+    mu_pp, mu_gg, mu_pg = mu_p * mu_p, mu_g * mu_g, mu_p * mu_g
+    sigma_p = blur(pred * pred) - mu_pp
+    sigma_g = blur(gt * gt) - mu_gg
+    sigma_pg = blur(pred * gt) - mu_pg
+    s = ((2 * mu_pg + C1) * (2 * sigma_pg + C2)) / \
+        ((mu_pp + mu_gg + C1) * (sigma_p + sigma_g + C2))
+    return jnp.mean(s)
+
+
+_LPIPS = None
+
+
+def lpips(pred, gt):
+    """LPIPS(vgg) via torch-cpu torchmetrics if importable, else None.
+    pred, gt: (H, W, 3) numpy in [0, 1]."""
+    global _LPIPS
+    try:
+        if _LPIPS is None:
+            import torch  # noqa
+            from torchmetrics.image.lpip import \
+                LearnedPerceptualImagePatchSimilarity
+            _LPIPS = LearnedPerceptualImagePatchSimilarity("vgg")
+    except Exception:
+        return None
+    import torch
+    to_t = lambda x: torch.from_numpy(
+        np.asarray(x, np.float32)).permute(2, 0, 1)[None] * 2 - 1
+    with torch.no_grad():
+        return float(_LPIPS(to_t(pred).clamp(-1, 1), to_t(gt).clamp(-1, 1)))

@@ -1,0 +1,285 @@
+"""Training system: the reference's NeRFSystem (train.py:53-260) as a set of
+pure jitted step functions around explicit state.
+
+One `train_step` is a single compiled program containing on-device ray
+sampling (image/pixel gathers from device-resident images), pose->ray math,
+marching, field eval, compositing, losses, and the Adam update — there is no
+host<->device traffic in the hot loop. The density-grid EMA update runs as
+its own jitted program every `update_interval` steps (reference
+train.py:174-178).
+
+Multi-chip: `mesh` turns the step into a shard_map program — each device
+samples its own ray batch (per-device RNG fold), computes grads, and joins
+them with a psum over ICI; parameter/optimizer state stays replicated.
+This reproduces the reference's DDP semantics (N devices => N x rays,
+train.py:286-291) the SPMD way.
+"""
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.ngp import (NGPConfig, ngp_init, grid_state_init,
+                          mark_invisible_cells, update_density_grid)
+from ..rendering import render_train, render_test, MAX_SAMPLES
+from ..datasets.ray_utils import get_rays, axisangle_to_R
+from .losses import NeRFLossConfig, nerf_loss, total_loss
+from .metrics import psnr as psnr_fn
+from . import ckpt as ckpt_lib
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 8192
+    lr: float = 1e-2
+    num_epochs: int = 30
+    steps_per_epoch: int = 1000          # reference datasets/base.py:17-19
+    update_interval: int = 16            # reference train.py:59
+    warmup_steps: int = 256              # reference train.py:58
+    density_decay: float = 0.95
+    random_bg: bool = False
+    optimize_ext: bool = False
+    ray_sampling_strategy: str = "all_images"
+    use_exposure: bool = False
+    erode: bool = False                  # reference: colmap datasets only
+    loss: NeRFLossConfig = field(default_factory=NeRFLossConfig)
+    # TPU sample-buffer budget: avg samples/ray the compact buffer can hold
+    samples_per_ray_budget: int = 48
+    s_cap: int = MAX_SAMPLES
+    max_samples: int = MAX_SAMPLES
+
+    @property
+    def total_steps(self):
+        return self.num_epochs * self.steps_per_epoch
+
+
+def cosine_epoch_schedule(lr0: float, num_epochs: int, steps_per_epoch: int):
+    """CosineAnnealingLR stepped per epoch, eta_min = lr/30
+    (reference train.py:150-152)."""
+    eta_min = lr0 / 30.0
+
+    def sched(step):
+        epoch = jnp.minimum(step // steps_per_epoch, num_epochs)
+        frac = epoch.astype(jnp.float32) / num_epochs
+        return eta_min + 0.5 * (lr0 - eta_min) * (1 + jnp.cos(jnp.pi * frac))
+    return sched
+
+
+def make_optimizer(tc: TrainConfig):
+    sched = cosine_epoch_schedule(tc.lr, tc.num_epochs, tc.steps_per_epoch)
+    # FusedAdam(lr, eps=1e-15) equivalent (reference train.py:146)
+    return optax.adam(learning_rate=sched, eps=1e-15), sched
+
+
+def sample_rays(images, poses, directions, key, tc: TrainConfig,
+                pose_deltas=None):
+    """On-device ray-batch sampling (reference base.py:22-35 + train.py:84-97).
+    images: (N_img, HW, 3|4) device array."""
+    n_img, hw = images.shape[0], images.shape[1]
+    k_img, k_pix = jax.random.split(key)
+    if tc.ray_sampling_strategy == "same_image":
+        one = jax.random.randint(k_img, (), 0, n_img)
+        img_idxs = jnp.full((tc.batch_size,), one, jnp.int32)
+    else:
+        img_idxs = jax.random.randint(k_img, (tc.batch_size,), 0, n_img)
+    pix_idxs = jax.random.randint(k_pix, (tc.batch_size,), 0, hw)
+
+    rays = images[img_idxs, pix_idxs]                  # (B, 3|4)
+    rgb_gt = rays[:, :3]
+    exposure = rays[:, 3:4] if (tc.use_exposure and images.shape[-1] == 4) \
+        else None
+    pose = poses[img_idxs]                             # (B, 3, 4)
+    if pose_deltas is not None:                        # --optimize_ext
+        dR = axisangle_to_R(pose_deltas["dR"][img_idxs])
+        R = dR @ pose[..., :3]
+        t = pose[..., 3] + pose_deltas["dT"][img_idxs]
+        pose = jnp.concatenate([R, t[..., None]], axis=-1)
+    dirs = directions[pix_idxs]
+    rays_o, rays_d = get_rays(dirs, pose)
+    return rays_o, rays_d, rgb_gt, exposure
+
+
+def train_step_impl(params, opt_state, grid_state, images, poses, directions,
+                    key, step, *, cfg: NGPConfig, tc: TrainConfig, tx,
+                    exp_step_factor: float, axis_name: Optional[str] = None):
+    """Pure training step; when axis_name is set, gradients/metrics are
+    psum-joined across the device mesh (the DDP all-reduce equivalent)."""
+    k_sample, k_render = jax.random.split(key)
+    pose_deltas = params.get("pose_deltas") if tc.optimize_ext else None
+    rays_o, rays_d, rgb_gt, exposure = sample_rays(
+        images, poses, directions, k_sample, tc, pose_deltas)
+
+    m_cap = tc.batch_size * tc.samples_per_ray_budget
+
+    def loss_fn(p):
+        results = render_train(
+            {k: v for k, v in p.items() if k != "pose_deltas"},
+            grid_state, rays_o, rays_d, k_render, cfg,
+            exp_step_factor=exp_step_factor, random_bg=tc.random_bg,
+            m_cap=m_cap, s_cap=tc.s_cap, max_samples=tc.max_samples,
+            exposure=exposure)
+        ld = nerf_loss(results, rgb_gt, tc.loss)
+        return total_loss(ld), results
+
+    (loss, results), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    if axis_name is not None:
+        grads = jax.lax.pmean(grads, axis_name)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+
+    metrics = {
+        "loss": loss,
+        "psnr": psnr_fn(results["rgb"], rgb_gt),
+        "rm_s": results["rm_samples"] / tc.batch_size,
+        "vr_s": results["vr_samples"] / tc.batch_size,
+    }
+    if axis_name is not None:
+        metrics = jax.lax.pmean(metrics, axis_name)
+    return params, opt_state, metrics
+
+
+class NeRFTrainer:
+    """Owns model/optimizer/grid state and the compiled step functions."""
+
+    def __init__(self, cfg: NGPConfig, tc: TrainConfig, dataset,
+                 test_dataset=None, key=None, mesh=None):
+        self.cfg = cfg
+        self.tc = tc
+        self.dataset = dataset
+        self.test_dataset = test_dataset
+        self.mesh = mesh
+        key = key if key is not None else jax.random.PRNGKey(0)
+        self.key, k_init = jax.random.split(key)
+
+        self.exp_step_factor = 1 / 256 if cfg.scale > 0.5 else 0.0
+
+        self.params = ngp_init(k_init, cfg)
+        if tc.optimize_ext:
+            n = len(dataset.poses)
+            self.params["pose_deltas"] = {
+                "dR": jnp.zeros((n, 3)), "dT": jnp.zeros((n, 3))}
+        self.tx, self.lr_sched = make_optimizer(tc)
+        self.opt_state = self.tx.init(self.params)
+        self.grid_state = grid_state_init(cfg)
+        self.step = 0
+
+        # device-resident dataset tensors
+        self.images = jnp.asarray(dataset.rays)
+        self.poses = jnp.asarray(dataset.poses)
+        self.directions = jnp.asarray(dataset.directions)
+        self.K = jnp.asarray(dataset.K)
+
+        self._build_steps()
+
+    def _build_steps(self):
+        kw = dict(cfg=self.cfg, tc=self.tc, tx=self.tx,
+                  exp_step_factor=self.exp_step_factor)
+        if self.mesh is None:
+            self._step = jax.jit(
+                partial(train_step_impl, axis_name=None, **kw),
+                donate_argnums=(0, 1))
+        else:
+            from ..parallel.dp import make_dp_train_step
+            self._step = make_dp_train_step(self.mesh, train_step_impl, kw)
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def on_train_start(self):
+        """reference train.py:169-172."""
+        w, h = self.dataset.img_wh
+        self.grid_state = mark_invisible_cells(
+            self.grid_state, self.K, self.poses, self.cfg, w, h)
+
+    def maybe_update_grid(self):
+        if self.step % self.tc.update_interval == 0:
+            self.key, k = jax.random.split(self.key)
+            # reference train.py:176: 0.01 * MAX_SAMPLES / 3**0.5
+            thr = 0.01 * MAX_SAMPLES / (3 ** 0.5)
+            self.grid_state = update_density_grid(
+                self.params if "pose_deltas" not in self.params else
+                {k2: v for k2, v in self.params.items() if k2 != "pose_deltas"},
+                self.grid_state, k, self.cfg, density_threshold=thr,
+                warmup=self.step < self.tc.warmup_steps,
+                decay=self.tc.density_decay, erode=self.tc.erode)
+
+    def train_step(self):
+        self.maybe_update_grid()
+        self.key, k = jax.random.split(self.key)
+        if self.mesh is not None:
+            n = len(self.mesh.devices.flatten())
+            k = jax.random.split(k, n)
+        self.params, self.opt_state, metrics = self._step(
+            self.params, self.opt_state, self.grid_state, self.images,
+            self.poses, self.directions, k, self.step)
+        self.step += 1
+        return metrics
+
+    def fit(self, n_steps=None, log_every=1000, callback=None):
+        self.on_train_start()
+        n = n_steps if n_steps is not None else self.tc.total_steps
+        t0 = time.time()
+        last = {}
+        for _ in range(n):
+            last = self.train_step()
+            if callback is not None:
+                callback(self.step, last)
+            if log_every and self.step % log_every == 0:
+                m = {k: float(v) for k, v in last.items()}
+                print(f"step {self.step}: "
+                      + " ".join(f"{k}={v:.4g}" for k, v in m.items())
+                      + f" ({self.step / (time.time() - t0):.1f} it/s)")
+        return last
+
+    # -- evaluation --------------------------------------------------------
+
+    def render_pose(self, pose, **kwargs):
+        dirs = self.directions
+        rays_o, rays_d = get_rays(dirs, jnp.asarray(pose))
+        return render_test(self.model_params, self.grid_state, rays_o, rays_d,
+                           self.cfg, exp_step_factor=self.exp_step_factor,
+                           **kwargs)
+
+    @property
+    def model_params(self):
+        return {k: v for k, v in self.params.items() if k != "pose_deltas"}
+
+    def validate(self, max_images=None, compute_ssim=True):
+        from .metrics import ssim as ssim_fn
+        ds = self.test_dataset or self.dataset
+        w, h = ds.img_wh
+        n = len(ds.poses) if max_images is None else min(max_images,
+                                                         len(ds.poses))
+        psnrs, ssims = [], []
+        for i in range(n):
+            out = self.render_pose(ds.poses[i])
+            pred = np.asarray(out["rgb"]).reshape(h, w, 3)
+            # synthetic background is white in training (exp_step_factor==0)
+            if self.exp_step_factor == 0.0:
+                pred = pred + (1 - np.asarray(out["opacity"]).reshape(h, w, 1))
+            gt = np.asarray(ds.rays[i][:, :3]).reshape(h, w, 3)
+            psnrs.append(float(psnr_fn(jnp.asarray(pred), jnp.asarray(gt))))
+            if compute_ssim:
+                ssims.append(float(ssim_fn(jnp.asarray(pred), jnp.asarray(gt))))
+        out = {"psnr": float(np.mean(psnrs))}
+        if compute_ssim:
+            out["ssim"] = float(np.mean(ssims))
+        return out
+
+    # -- checkpointing -----------------------------------------------------
+
+    def save(self, path):
+        ckpt_lib.save_ckpt(path, params=self.params,
+                           grid_state=self.grid_state,
+                           opt_state=self.opt_state, step=self.step)
+
+    def load(self, path):
+        self.params, self.grid_state, self.opt_state, self.step = \
+            ckpt_lib.load_ckpt(path, params_template=self.params,
+                               grid_template=self.grid_state,
+                               opt_state_template=self.opt_state)

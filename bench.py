@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Benchmark harness: trains the flagship NGP on the procedural analytic
+scene at the reference's quickstart spec (8192-ray batches, 800x800 target
+renders) and prints ONE JSON line.
+
+Baseline anchor: the reference trains 30k steps x 8192 rays in ~5 min on an
+RTX 2080 Ti (README.md:69-71) => ~100 train steps/s. vs_baseline is
+(our steps/s) / 100.
+
+Extra fields (not the headline): interactive render FPS at 800x800
+(reference: 36.2 FPS on Lego, README.md:90) and the end-of-run PSNR on the
+analytic scene's held-out views.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from arnerf_tpu.models import NGPConfig
+    from arnerf_tpu.training import TrainConfig, NeRFTrainer
+    from arnerf_tpu.training.losses import NeRFLossConfig
+    from arnerf_tpu.datasets.synthetic import SyntheticDataset, SyntheticConfig
+
+    dev = jax.devices()[0]
+    wh = int(sys.argv[sys.argv.index("--wh") + 1]) if "--wh" in sys.argv else 800
+    steps = int(sys.argv[sys.argv.index("--steps") + 1]) \
+        if "--steps" in sys.argv else 512
+
+    t0 = time.time()
+    scfg = SyntheticConfig(img_wh=(wh, wh), n_train=24, n_test=2,
+                           gt_samples=512)
+    train_ds = SyntheticDataset(split="train", config=scfg)
+    test_ds = SyntheticDataset(split="test", config=scfg)
+    data_s = time.time() - t0
+
+    cfg = NGPConfig(scale=0.5)  # flagship: L=16, T=2^19, 128^3 grid
+    tc = TrainConfig(batch_size=8192, lr=1e-2, num_epochs=30,
+                     steps_per_epoch=1000, warmup_steps=256,
+                     samples_per_ray_budget=48,
+                     loss=NeRFLossConfig(grid_scale=0.5))
+    trainer = NeRFTrainer(cfg, tc, train_ds, test_ds,
+                          key=jax.random.PRNGKey(0))
+    trainer.on_train_start()
+
+    # compile + warmup (cover both warmup and post-warmup grid programs)
+    for _ in range(8):
+        trainer.train_step()
+    jax.block_until_ready(trainer.params["hash_table"])
+
+    t0 = time.time()
+    m = {}
+    for _ in range(steps):
+        m = trainer.train_step()
+    jax.block_until_ready(trainer.params["hash_table"])
+    dt = time.time() - t0
+    steps_per_s = steps / dt
+
+    # post-warmup throughput once the grid is carved (the steady state that
+    # dominates a 30k-step run)
+    while trainer.step < tc.warmup_steps + 64:
+        trainer.train_step()
+    jax.block_until_ready(trainer.params["hash_table"])
+    t0 = time.time()
+    for _ in range(256):
+        m = trainer.train_step()
+    jax.block_until_ready(trainer.params["hash_table"])
+    steady_steps_per_s = 256 / (time.time() - t0)
+
+    # interactive render FPS at wh x wh
+    from arnerf_tpu.datasets.ray_utils import get_rays
+    import jax.numpy as jnp
+    pose = jnp.asarray(test_ds.poses[0])
+    rays_o, rays_d = get_rays(jnp.asarray(test_ds.directions), pose)
+    from arnerf_tpu.rendering import render_test
+    render_test(trainer.model_params, trainer.grid_state, rays_o, rays_d,
+                cfg, T_threshold=1e-2, max_samples=128)  # compile (GUI spec)
+    t0 = time.time()
+    n_frames = 5
+    for _ in range(n_frames):
+        out = render_test(trainer.model_params, trainer.grid_state, rays_o,
+                          rays_d, cfg, T_threshold=1e-2, max_samples=128)
+        jax.block_until_ready(out["rgb"])
+    fps = n_frames / (time.time() - t0)
+
+    val = trainer.validate(max_images=1, compute_ssim=False)
+
+    result = {
+        "metric": "train_steps_per_s_8192rays",
+        "value": round(steady_steps_per_s, 2),
+        "unit": "steps/s",
+        "vs_baseline": round(steady_steps_per_s / 100.0, 3),
+        "extra": {
+            "early_steps_per_s": round(steps_per_s, 2),
+            "render_fps_800": round(fps, 2),
+            "val_psnr_after_bench_steps": round(val["psnr"], 2),
+            "train_psnr": round(float(m.get("psnr", 0.0)), 2),
+            "data_gen_s": round(data_s, 1),
+            "device": str(dev),
+            "steps_timed": steps,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

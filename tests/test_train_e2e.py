@@ -1,0 +1,63 @@
+"""End-to-end convergence smoke test: train a small NGP on the procedural
+analytic scene and require a real PSNR gain (SURVEY.md §4 test strategy (c))."""
+
+import numpy as np
+import jax
+import pytest
+
+from arnerf_tpu.models import NGPConfig
+from arnerf_tpu.training import TrainConfig, NeRFTrainer
+from arnerf_tpu.training.losses import NeRFLossConfig
+from arnerf_tpu.datasets.synthetic import SyntheticDataset, SyntheticConfig
+
+
+def make_trainer(mesh=None, batch=1024):
+    scfg = SyntheticConfig(img_wh=(64, 64), n_train=12, n_test=2,
+                           gt_samples=256)
+    train_ds = SyntheticDataset(split="train", config=scfg)
+    test_ds = SyntheticDataset(split="test", config=scfg)
+    cfg = NGPConfig(scale=0.5, grid_size=64, n_levels=8,
+                    log2_hashmap_size=15, base_resolution=16)
+    tc = TrainConfig(batch_size=batch, lr=1e-2, num_epochs=2,
+                     steps_per_epoch=300, warmup_steps=64,
+                     samples_per_ray_budget=40, max_samples=256, s_cap=256,
+                     loss=NeRFLossConfig(grid_scale=0.5))
+    return NeRFTrainer(cfg, tc, train_ds, test_ds,
+                       key=jax.random.PRNGKey(0), mesh=mesh)
+
+
+@pytest.mark.slow
+def test_train_converges_on_synthetic_scene():
+    trainer = make_trainer()
+    trainer.on_train_start()
+    psnrs = []
+    for i in range(600):
+        m = trainer.train_step()
+        if (i + 1) % 150 == 0:
+            psnrs.append(float(m["psnr"]))
+    # training PSNR must climb decisively above the "predict the mean" floor
+    assert psnrs[-1] > 19.0, psnrs
+    val = trainer.validate(max_images=1, compute_ssim=True)
+    assert val["psnr"] > 17.0, val
+    assert val["ssim"] > 0.5, val
+
+
+@pytest.mark.slow
+def test_checkpoint_roundtrip(tmp_path):
+    trainer = make_trainer()
+    trainer.on_train_start()
+    for _ in range(40):
+        trainer.train_step()
+    path = str(tmp_path / "ckpt.npz")
+    trainer.save(path)
+
+    trainer2 = make_trainer()
+    trainer2.load(path)
+    assert trainer2.step == trainer.step
+    a = jax.tree.leaves(trainer.params)
+    b = jax.tree.leaves(trainer2.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # resumed training proceeds
+    m = trainer2.train_step()
+    assert np.isfinite(float(m["loss"]))

@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""Training CLI — the reference's train.py rebuilt on the TPU framework.
+
+Same flags (arnerf_tpu/opt.py mirrors reference opt.py), same outputs:
+checkpoints under ckpts/{dataset}/{exp}/, test renders + depth maps under
+results/{dataset}/{exp}/, rgb/depth videos for Synthetic-NSVF, and a slim
+checkpoint at the end (reference train.py:263-310).
+"""
+
+import glob
+import os
+
+import numpy as np
+
+from arnerf_tpu.opt import get_opts
+
+
+def depth2img(depth):
+    """reference train.py:45-50."""
+    import cv2
+    depth = (depth - depth.min()) / max(depth.max() - depth.min(), 1e-9)
+    return cv2.applyColorMap((depth * 255).astype(np.uint8),
+                             cv2.COLORMAP_TURBO)[..., ::-1]
+
+
+def main():
+    hparams = get_opts()
+    if hparams.val_only and (not hparams.ckpt_path):
+        raise ValueError('You need to provide a @ckpt_path for validation!')
+
+    import jax
+    import jax.numpy as jnp
+    from arnerf_tpu.datasets import dataset_dict
+    from arnerf_tpu.models import NGPConfig
+    from arnerf_tpu.training import TrainConfig, NeRFTrainer
+    from arnerf_tpu.training.losses import NeRFLossConfig
+    from arnerf_tpu.training.metrics import ssim as ssim_fn, psnr as psnr_fn, \
+        lpips as lpips_fn
+    from arnerf_tpu.training.ckpt import slim_ckpt
+    from arnerf_tpu.parallel import make_mesh
+    from arnerf_tpu.parallel.mesh import maybe_init_distributed
+
+    maybe_init_distributed()
+
+    dataset_cls = dataset_dict[hparams.dataset_name]
+    kwargs = {'root_dir': hparams.root_dir, 'downsample': hparams.downsample}
+    if hparams.use_EXR and hparams.dataset_name in (
+            'colmap_exr', 'colmap_real_exr', 'myblender'):
+        kwargs['use_EXR'] = True
+    train_ds = dataset_cls(split=hparams.split, **kwargs)
+    test_ds = dataset_cls(split='test', **kwargs)
+    train_ds.batch_size = hparams.batch_size
+    train_ds.ray_sampling_strategy = hparams.ray_sampling_strategy
+
+    rgb_act = 'None' if (hparams.use_exposure or hparams.use_EXR) \
+        else 'Sigmoid'
+    cfg = NGPConfig(scale=hparams.scale, rgb_act=rgb_act,
+                    use_raw_hdr=hparams.use_EXR)
+    tc = TrainConfig(
+        batch_size=hparams.batch_size, lr=hparams.lr,
+        num_epochs=hparams.num_epochs,
+        random_bg=hparams.random_bg, optimize_ext=hparams.optimize_ext,
+        ray_sampling_strategy=hparams.ray_sampling_strategy,
+        use_exposure=hparams.use_exposure,
+        erode=hparams.dataset_name == 'colmap',
+        loss=NeRFLossConfig(
+            loss_set=hparams.loss_func, grid_scale=hparams.scale,
+            lambda_depth=hparams.depth_loss_w,
+            lambda_distortion=hparams.distortion_loss_w))
+
+    mesh = make_mesh(hparams.num_gpus) if hparams.num_gpus > 1 else None
+    trainer = NeRFTrainer(cfg, tc, train_ds, test_ds,
+                          key=jax.random.PRNGKey(0), mesh=mesh)
+
+    ckpt_dir = f'ckpts/{hparams.dataset_name}/{hparams.exp_name}'
+    if hparams.ckpt_path:
+        trainer.load(hparams.ckpt_path)
+    elif hparams.weight_path:
+        from arnerf_tpu.training.ckpt import load_ckpt
+        trainer.params, _, _, _ = load_ckpt(
+            hparams.weight_path, params_template=trainer.params)
+
+    if not hparams.val_only:
+        remaining = tc.total_steps - trainer.step
+        trainer.fit(n_steps=max(remaining, 0), log_every=1000)
+        os.makedirs(ckpt_dir, exist_ok=True)
+        full_path = f'{ckpt_dir}/epoch={hparams.num_epochs - 1}.npz'
+        trainer.save(full_path)
+        slim_ckpt(full_path,
+                  f'{ckpt_dir}/epoch={hparams.num_epochs - 1}_slim.npz')
+
+    # validation over the whole test split (reference validation_step)
+    val_dir = f'results/{hparams.dataset_name}/{hparams.exp_name}'
+    if not hparams.no_save_test:
+        os.makedirs(val_dir, exist_ok=True)
+    w, h = test_ds.img_wh
+    psnrs, ssims, lpipss = [], [], []
+    for i in range(len(test_ds.poses)):
+        out = trainer.render_pose(test_ds.poses[i])
+        pred = np.asarray(out['rgb']).reshape(h, w, 3)
+        if trainer.exp_step_factor == 0.0:  # white bg for synthetic
+            pred = pred + (1 - np.asarray(out['opacity']).reshape(h, w, 1))
+        pred = np.clip(pred, 0, 1)
+        if len(test_ds.rays) > 0:
+            gt = np.asarray(test_ds.rays[i][:, :3]).reshape(h, w, 3)
+            psnrs.append(float(psnr_fn(jnp.asarray(pred), jnp.asarray(gt))))
+            ssims.append(float(ssim_fn(jnp.asarray(pred), jnp.asarray(gt))))
+            if hparams.eval_lpips:
+                lp = lpips_fn(pred, gt)
+                if lp is not None:
+                    lpipss.append(lp)
+        if not hparams.no_save_test:
+            import imageio
+            imageio.imsave(os.path.join(val_dir, f'{i:03d}.png'),
+                           (pred * 255).astype(np.uint8))
+            d = np.asarray(out['depth']).reshape(h, w)
+            imageio.imsave(os.path.join(val_dir, f'{i:03d}_d.png'),
+                           depth2img(d))
+    if psnrs:
+        msg = f'test/psnr={np.mean(psnrs):.3f} test/ssim={np.mean(ssims):.4f}'
+        if lpipss:
+            msg += f' test/lpips_vgg={np.mean(lpipss):.4f}'
+        print(msg)
+
+    # rgb/depth videos for Synthetic-NSVF (reference train.py:301-310)
+    if (not hparams.no_save_test) and hparams.dataset_name == 'nsvf' \
+            and 'Synthetic' in hparams.root_dir:
+        import imageio
+        imgs = sorted(glob.glob(os.path.join(val_dir, '*.png')))
+        rgb_frames = [imageio.imread(p) for p in imgs
+                      if not p.endswith('_d.png')]
+        depth_frames = [imageio.imread(p) for p in imgs
+                        if p.endswith('_d.png')]
+        if rgb_frames:
+            imageio.mimsave(os.path.join(val_dir, 'rgb.mp4'), rgb_frames,
+                            fps=30, macro_block_size=1)
+        if depth_frames:
+            imageio.mimsave(os.path.join(val_dir, 'depth.mp4'), depth_frames,
+                            fps=30, macro_block_size=1)
+
+
+if __name__ == '__main__':
+    main()
