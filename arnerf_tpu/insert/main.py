@@ -1,0 +1,895 @@
+"""AR object insertion: NGPInsertor (offline prep + per-frame relight and
+composite) and NGPServer (TCP protocol with the external OpenGL viewer).
+Rebuilt from reference insert/main.py.
+
+Pipeline parity (reference line refs inline):
+  * scene surface cache (rgb/points/normals per training pose) via
+    depth + density-gradient normals ............ main.py:151-193
+  * point-cloud / blender-transform export ....... main.py:221-249
+  * global-SH inverse rendering driver ........... main.py:251-302
+  * SH / SG light-probe generation ............... main.py:306-407
+  * shadow application (shadow field / SG-SSDF /
+    rasterized shadow map) ....................... main.py:419-519
+  * object PBR render + dirty-rect NeRF
+    recomposite .................................. main.py:521-684
+  * TCP protocol: 14 actions ..................... main.py:687-1191
+"""
+
+import os
+import struct
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.ngp import NGPConfig, ngp_init, grid_state_init, GridState
+from ..rendering import (render_test, render_surface_normal)
+from ..datasets.ray_utils import get_ray_directions, get_rays
+from ..training.ckpt import load_ckpt
+from .sh_math import (get_sh_coeff, get_sh_val, get_cubemap_rays,
+                      get_sphere_rays, rotate_sh_by_recalc, normalize,
+                      write2ply, sh2envmap)
+from .render_utils import (cubemap2env_map, sh_render_core, sg_render_core,
+                           _gaussian_blur_3x3)
+from .envfit import EnvOptim, trans_raw_sg, sg2envmap
+from .insert_models import (get_embedder, mlp_skip_init, mlp_skip_apply,
+                            train_global_env_prec)
+from .global_light import GlobalLightEstimator
+from .shadow_fields import ComplexSF, SimplifySF, soft_shadow_map, \
+    transform_sf_txt
+from .sg_shadow import SGShadow
+from .tonemapping import tonemapping_simple, tonemapping_simple_gamma
+from .server import Server
+
+SH_ORDER = 3           # SH9 (reference main.py:36)
+USE_STD_SF = True
+
+
+def _blur_hw1(img, k=9):
+    """Gaussian blur of an (H, W, 1) map by repeated 3x3 passes
+    (approximates the reference's single (k,k) gaussian)."""
+    n = max(1, k // 3 + 1)
+    for _ in range(n):
+        img = _gaussian_blur_3x3(img)
+    return img
+
+
+class NGPInsertor:
+    """reference insert/main.py:49-684."""
+
+    def __init__(self, hparams, key=None):
+        self.hparams = hparams
+        self.key = key if key is not None else jax.random.PRNGKey(0)
+        rgb_act = 'None' if (hparams.use_exposure or hparams.use_EXR) \
+            else 'Sigmoid'
+        self.cfg = NGPConfig(scale=hparams.scale, rgb_act=rgb_act,
+                             use_raw_hdr=hparams.use_EXR)
+        self.params = ngp_init(jax.random.PRNGKey(0), self.cfg)
+        self.grid_state = grid_state_init(self.cfg)
+        if hparams.ckpt_path:
+            self.params, self.grid_state, _, _ = load_ckpt(
+                hparams.ckpt_path, params_template=self.params,
+                grid_template=self.grid_state)
+            # occupancy may come from a slim ckpt without grid -> rebuild
+            if int(jnp.sum(self.grid_state.occ_flat)) == 0:
+                occ = (self.grid_state.density_grid > 0.01).astype(jnp.uint8)
+                self.grid_state = self.grid_state._replace(
+                    occ_flat=occ.reshape(-1))
+
+        self.gen_path = os.path.join('./insert/generate/', hparams.exp_name)
+        self.has_pc = os.path.exists(os.path.join(self.gen_path, 'pc.ply'))
+        self.has_sur = os.path.exists(
+            os.path.join(self.gen_path, 'surface.npy'))
+        read_meta = not (self.has_sur or os.path.exists(
+            os.path.join(self.gen_path, 'mat_sh_000199.npz')))
+
+        from ..datasets import dataset_dict
+        kwargs = {'root_dir': hparams.root_dir,
+                  'downsample': hparams.downsample, 'read_meta': read_meta}
+        if hparams.use_EXR and hparams.dataset_name in (
+                'colmap_exr', 'colmap_real_exr', 'myblender'):
+            kwargs['use_EXR'] = True
+        dataset = dataset_dict[hparams.dataset_name](**kwargs)
+
+        l_resol = hparams.low_resolution
+        self.K = np.array(dataset.K, np.float32)
+        self.K[:2] = self.K[:2] / l_resol
+        self.W = int(dataset.img_wh[0] / l_resol)
+        self.H = int(dataset.img_wh[1] / l_resol)
+        self.directions = jnp.asarray(
+            get_ray_directions(self.H, self.W, self.K)).reshape(
+                self.H, self.W, 3)
+        self.screen_bound = [[0, 0], [self.H, self.W]]
+        self.dataset = dataset
+        self.sh_ray_dirs = None
+        self.cubemap_rgb = None
+        self.global_sh = jnp.zeros((1, SH_ORDER ** 2, 3))
+
+        self.last_depth = None
+        self.last_rgb = None
+
+        # neural-BRDF glossy MLP (reference loads insert/data/model_brdf3.tar,
+        # main.py:90-94; regenerate with scripts/train_brdf.py)
+        embed_fn_v, input_ch_v = get_embedder(3)
+        self.embed_fn_v = embed_fn_v
+        brdf_path = os.path.join(os.path.dirname(__file__), 'data',
+                                 f'model_brdf{SH_ORDER}.npz')
+        self.model_brdf_params = self._load_or_init_brdf(
+            brdf_path, input_ch_v * 2 + 1, 2 * SH_ORDER ** 2)
+
+        self.sf = None
+        self.sg_shadow = None
+        self.env_opt = EnvOptim()
+        os.makedirs(self.gen_path, exist_ok=True)
+        os.makedirs(os.path.join(self.gen_path, 'results'), exist_ok=True)
+        self.dt = 0.0
+
+    def _load_or_init_brdf(self, path, input_ch, output_ch):
+        params = mlp_skip_init(jax.random.PRNGKey(42), input_ch, output_ch,
+                               D=2, W=128)
+        if os.path.exists(path):
+            blob = np.load(path)
+            for i in range(len(params["layers"])):
+                params["layers"][i] = {"w": jnp.asarray(blob[f"w_{i}"]),
+                                       "b": jnp.asarray(blob[f"b_{i}"])}
+            print(f'Loaded neural BRDF from {path}')
+        else:
+            print('WARNING: no pretrained neural BRDF found '
+                  f'({path}); SH glossy shading will be uncalibrated. '
+                  'Run scripts/train_brdf.py to fit one.')
+        return params
+
+    def model_brdf(self, x):
+        return mlp_skip_apply(self.model_brdf_params, x)
+
+    def set_sf(self, sf_path):
+        self.sf = ComplexSF(sf_path, SH_ORDER ** 2)
+
+    def set_sg_shadow(self, pca_path):
+        self.sg_shadow = SGShadow(pca_path, 20, 128, 2, envH=74, envW=148)
+
+    # -- NeRF rendering ----------------------------------------------------
+
+    def render(self, rays_o, rays_d, **kwargs):
+        """Interactive-quality test render (reference main.py:110-131):
+        T_threshold 1e-2, max_samples 100."""
+        exp_step_factor = 1 / 256 if self.hparams.dataset_name in (
+            'colmap', 'nerfpp') else 0.0
+        t = time.time()
+        out = render_test(
+            self.params, self.grid_state, rays_o, rays_d, self.cfg,
+            exp_step_factor=exp_step_factor, T_threshold=1e-2,
+            max_samples=96, samples_per_round=32,
+            output_radiance=kwargs.get('output_radiance', False),
+            sh_bkg=kwargs.get('SH_bkg'), im_bkg=kwargs.get('IM_bkg'),
+            blend_bkg=kwargs.get('blend_bkg', True),
+            mesh_depth_map=kwargs.get('mesh_depth_map'))
+        self.dt = time.time() - t
+        if kwargs.get('return_full_res', False):
+            return out
+        return out['rgb'], out['depth']
+
+    def render_pose(self, pose, **kwargs):
+        rays_o, rays_d = get_rays(self.directions.reshape(-1, 3),
+                                  jnp.asarray(pose))
+        rgb, depth = self.render(rays_o, rays_d, **kwargs)
+        return (np.asarray(rgb).reshape(self.H, self.W, 3),
+                np.asarray(depth).reshape(self.H, self.W),
+                rays_o, rays_d)
+
+    # -- offline prep ------------------------------------------------------
+
+    def generate_surface(self, save=False):
+        """Per-pose surface cache (reference main.py:151-193)."""
+        save_path = os.path.join(self.gen_path, 'surface.npy')
+        if self.has_sur:
+            info = np.load(save_path, allow_pickle=True).item()
+            self.rgbs, self.spts, self.normals = \
+                info['rgbs'], info['spts'], info['normals']
+            return
+        rgbs, pts, normals = [], [], []
+        kwargs = {'output_radiance': True} if self.hparams.use_EXR else {}
+        for pose in self.dataset.poses:
+            rgb, depth, rays_o, rays_d = self.render_pose(pose, **kwargs)
+            ro = np.asarray(rays_o).reshape(self.H, self.W, 3)
+            rd = np.asarray(rays_d).reshape(self.H, self.W, 3)
+            surface_pts = ro + depth[..., None] * rd
+            n = np.asarray(render_surface_normal(
+                self.params, jnp.asarray(surface_pts), self.cfg))
+            rgbs.append(rgb)
+            pts.append(surface_pts)
+            normals.append(n)
+        self.rgbs = np.stack(rgbs, 0)
+        self.spts = np.stack(pts, 0)
+        self.normals = np.stack(normals, 0)
+        self.has_sur = True
+        if save:
+            np.save(save_path, {'rgbs': self.rgbs, 'spts': self.spts,
+                                'normals': self.normals})
+
+    def generate_point_cloud(self):
+        """reference main.py:221-249."""
+        if self.has_pc:
+            binfo = np.load(os.path.join(self.gen_path, 'btrans.npy'),
+                            allow_pickle=True).item()
+            self.blender_trans = binfo['trans']
+            self.blender_scale = binfo['scale']
+            return
+        self.generate_surface(save=True)
+        rgbs = self.rgbs.reshape(-1, 3)
+        pts = self.spts.reshape(-1, 3)
+        idx = np.random.default_rng(0).permutation(pts.shape[0])
+        idx = idx[:self.hparams.max_pc_pts_num]
+        rgbs, pts = rgbs[idx], pts[idx]
+        if self.hparams.use_EXR:
+            rgbs = np.asarray(tonemapping_simple_gamma(rgbs))
+        write2ply(rgbs, pts, os.path.join(self.gen_path, 'pc.ply'))
+        binfo = {
+            'trans': np.asarray(getattr(self.dataset, 'blender_trans',
+                                        np.eye(4)), np.float32),
+            'scale': float(getattr(self.dataset, 'blender_scale', 1.0))}
+        self.blender_trans = binfo['trans']
+        self.blender_scale = binfo['scale']
+        np.save(os.path.join(self.gen_path, 'btrans.npy'), binfo,
+                allow_pickle=True)
+        self.has_pc = True
+
+    def generate_envmaps(self, env_num=512):
+        """Env maps at random surface points for the amortized SG fitter
+        (reference main.py:195-212)."""
+        res_path = os.path.join(self.gen_path, 'envmaps.npy')
+        if os.path.exists(res_path):
+            return
+        self.generate_surface(save=True)
+        spts = self.spts.reshape(-1, 3)
+        idx = np.random.default_rng(0).permutation(spts.shape[0])[:env_num]
+        envmaps = [np.asarray(self.generate_probe(jnp.asarray(pt),
+                                                  return_envmap=True))
+                   for pt in spts[idx]]
+        np.save(res_path, np.stack(envmaps, 0))
+
+    def train_global_sh_light(self):
+        """reference main.py:251-302."""
+        self.generate_surface(save=True)
+        gle = GlobalLightEstimator(self.gen_path)
+        if not gle.calc_complete:
+            gle.detect_planar_patch()
+            gle.save_results(self)
+        gsh = train_global_env_prec(
+            gle.t_pts, gle.t_normal, gle.t_rgbs,
+            getattr(gle, 't_rgb_shs', None), getattr(gle, 't_opc_shs', None),
+            self.gen_path, SH_ORDER ** 2, iters=200, ckpt_save=199,
+            batch=20480 * 16, mat_smooth_range=1e-2, mat_smooth_weight=0.2,
+            lrate=1e-4, lrate_decay=2000,
+            hdr_mapping=self.hparams.train_SH_HDR_mapping)
+        self.global_sh = jnp.asarray(gsh)[None] if gsh.ndim == 2 \
+            else jnp.asarray(gsh)
+
+    # -- probes ------------------------------------------------------------
+
+    def generate_probe(self, pt, sh_probe=True, return_envmap=False,
+                       use_sphere_rays_sample=False):
+        """Light probe at a point: render probe rays from the NeRF with the
+        global SH as background; project to SH9 or fit SGs
+        (reference main.py:306-352)."""
+        if self.sh_ray_dirs is None:
+            if use_sphere_rays_sample:
+                self.key, k = jax.random.split(self.key)
+                self.sh_ray_dirs = get_sphere_rays(k, 1, 2048)
+            else:
+                self.sh_ray_dirs = get_cubemap_rays(1, 32)
+        ray_dirs = self.sh_ray_dirs.reshape(-1, 3)
+        rays_o = jnp.broadcast_to(jnp.asarray(pt)[None], ray_dirs.shape)
+        kwargs = {'SH_bkg': self.global_sh[0]}
+        if self.hparams.use_EXR:
+            kwargs['output_radiance'] = True
+        rgb, _ = self.render(rays_o, ray_dirs, **kwargs)
+        if self.hparams.gen_probe_HDR_mapping:
+            rgb = jnp.power(rgb / (1 + rgb), 1.0 / 2.2)
+        self.cubemap_rgb = rgb
+
+        if return_envmap:
+            return np.asarray(cubemap2env_map(rgb, 32, 128, 128))
+        if sh_probe:
+            return get_sh_coeff(ray_dirs[None], rgb[None])
+        envmap = cubemap2env_map(rgb, 32, 128, 128)
+        return self.env_opt.eval(envmap)
+
+    def generate_sh_probes(self, pts, return_raw_rgb=False):
+        """Batched SH probes with global-SH background
+        (reference main.py:355-379). pts: (x, 3)."""
+        n = pts.shape[0]
+        self.key, k = jax.random.split(self.key)
+        ray_dirs = get_sphere_rays(k, n, 2048)
+        rays_o = jnp.broadcast_to(jnp.asarray(pts)[:, None, :],
+                                  ray_dirs.shape)
+        kwargs = {'SH_bkg': self.global_sh[0]}
+        if self.hparams.use_EXR:
+            kwargs['output_radiance'] = True
+        rgb, _ = self.render(rays_o.reshape(-1, 3), ray_dirs.reshape(-1, 3),
+                             **kwargs)
+        if self.hparams.gen_probe_HDR_mapping:
+            rgb = jnp.power(rgb / (1 + rgb), 1.0 / 2.2)
+        rgb = rgb.reshape(n, -1, 3)
+        if return_raw_rgb:
+            return rgb, ray_dirs
+        return get_sh_coeff(ray_dirs, rgb)
+
+    def generate_sh_probes_for_precompute(self, pts):
+        """rgb + opacity SH probes with NO background blend — inputs to the
+        triple-product light composition (reference main.py:382-407)."""
+        n = pts.shape[0]
+        self.key, k = jax.random.split(self.key)
+        ray_dirs = get_sphere_rays(k, n, 2048)
+        rays_o = jnp.broadcast_to(jnp.asarray(pts)[:, None, :],
+                                  ray_dirs.shape)
+        kwargs = {'return_full_res': True, 'blend_bkg': False}
+        if self.hparams.use_EXR:
+            kwargs['output_radiance'] = True
+        res = self.render(rays_o.reshape(-1, 3), ray_dirs.reshape(-1, 3),
+                          **kwargs)
+        rgb = res['rgb'].reshape(n, -1, 3)
+        trans = 1.0 - res['opacity'].reshape(n, -1, 1)
+        return (get_sh_coeff(ray_dirs, rgb),
+                get_sh_coeff(ray_dirs, trans))
+
+    # -- shadows (reference main.py:419-519) -------------------------------
+
+    def enlarge_range(self, bbox, scale):
+        dH = bbox[1][0] - bbox[0][0]
+        dW = bbox[1][1] - bbox[0][1]
+        return [[int(max(0, bbox[0][0] - scale * dH)),
+                 int(max(0, bbox[0][1] - scale * dW))],
+                [int(min(self.H, bbox[1][0] + scale * dH)),
+                 int(min(self.W, bbox[1][1] + scale * dW))]]
+
+    def shadow_field(self, rays_o, rays_d, rgb, depth_sur, model_sh9,
+                     **kwargs):
+        model_r = kwargs.get('model_radius')
+        model_pos = kwargs.get('model_pos')
+        if model_r is None or model_pos is None:
+            print('Use shadow field, but infos not complete!')
+            return rgb
+        ro = rays_o.reshape(rgb.shape)
+        rd = rays_d.reshape(rgb.shape)
+        pts = (ro + rd * depth_sur).reshape(-1, 3)
+        rot_inv = kwargs.get('model_rot_inv')
+        if rot_inv is not None:
+            sh = rotate_sh_by_recalc(self.sh_ray_dirs[0], self.cubemap_rgb,
+                                     rot_inv)
+            smap = soft_shadow_map(self.sf, model_pos, model_r, sh, pts,
+                                   rot_inv)
+        else:
+            smap = soft_shadow_map(self.sf, model_pos, model_r, model_sh9,
+                                   pts)
+        return rgb * smap.reshape(rgb.shape[0], rgb.shape[1], 1)
+
+    def shadow_cast(self, rays_o, rays_d, rgb, depth_sur, VP, tex_size,
+                    s_map, model_r):
+        """Rasterized shadow-map projection (reference main.py:450-474)."""
+        ro = rays_o.reshape(rgb.shape)
+        rd = rays_d.reshape(rgb.shape)
+        pts = (ro + rd * depth_sur).reshape(-1, 3)
+        pts_h = jnp.concatenate([pts, jnp.ones((pts.shape[0], 1))], -1)
+        ras = (VP @ pts_h.T).T
+        ras = ras.at[:, :3].divide(ras[:, 3:4])
+        rx = jnp.clip(((ras[:, 0] + 1) / 2 * tex_size).astype(jnp.int32),
+                      0, tex_size - 1)
+        ry = jnp.clip(((-ras[:, 1] + 1) / 2 * tex_size).astype(jnp.int32),
+                      0, tex_size - 1)
+        rz = 0.5 * (ras[:, 2] + 1)
+        shadow_dis = rz - s_map[ry, rx, 0]
+        shadow_d = jnp.clip((shadow_dis / (model_r * 50)) ** 2, 0.2, 1.0)
+        smap = jnp.where(shadow_dis < 0, 1.0, shadow_d)
+        smap = smap.reshape(rgb.shape[0], rgb.shape[1], 1)
+        return rgb * _blur_hw1(smap, 9)
+
+    def ssdf_shadow(self, rays_o, rays_d, rgb, depth_sur, l_sgs, **kwargs):
+        model_r = kwargs.get('model_radius')
+        model_pos = kwargs.get('model_pos')
+        if model_r is None or model_pos is None:
+            print('Use ssdf shadow, but infos not complete!')
+            return rgb
+        ro = rays_o.reshape(rgb.shape)
+        rd = rays_d.reshape(rgb.shape)
+        pts = (ro + rd * depth_sur).reshape(-1, 3)
+        rot_inv = kwargs.get('model_rot_inv')
+        if rot_inv is not None:
+            l_rot = l_sgs.at[:, :3].set((rot_inv @ l_sgs[:, :3].T).T)
+            smap = self.sg_shadow.calc_shadow_factor(
+                model_r, pts, model_pos, l_rot, rot_inv)
+        else:
+            smap = self.sg_shadow.calc_shadow_factor(
+                model_r, pts, model_pos, l_sgs)
+        smap = smap.reshape(rgb.shape[0], rgb.shape[1], 1)
+        return rgb * _blur_hw1(smap, 3)
+
+    # -- object render + composite (reference main.py:521-684) -------------
+
+    def render_object(self, model_bbox_cur, normals, depths, sh_or_sg, pose,
+                      metal=0.9, rough=0.2, albedo=None, use_sg_base=True,
+                      sg_use_self_shadow=True, **kwargs):
+        """PBR-shade the inserted object's pixels inside its screen bbox.
+        The reference masks pixels with boolean indexing; here shading runs
+        on the full bbox and the depth mask multiplies at the end (fixed
+        shapes per bbox)."""
+        mask = (depths > 1e-6).reshape(-1, 1)
+        n_pix = mask.shape[0]
+        normal_px = normals.reshape(-1, 3)
+        if albedo is None:
+            albedo_px = jnp.ones((n_pix, 3))
+        elif np.shape(albedo)[0] == 1:
+            albedo_px = jnp.broadcast_to(jnp.asarray(albedo), (n_pix, 3))
+        else:
+            albedo_px = jnp.asarray(albedo).reshape(-1, 3)
+        metal_px = jnp.full((n_pix, 1), metal) if np.isscalar(metal) \
+            else jnp.asarray(metal).reshape(-1, 1)
+        rough_px = jnp.full((n_pix, 1), rough) if np.isscalar(rough) \
+            else jnp.clip(jnp.asarray(rough).reshape(-1, 1), 0.2, 1.0)
+
+        (hs, ws), (hl, wl) = model_bbox_cur
+        height, width = hl - hs, wl - ws
+        rays_o, rays_d = get_rays(
+            self.directions[hs:hl, ws:wl].reshape(-1, 3), jnp.asarray(pose))
+        vdirs = normalize(rays_d)
+
+        clamp01 = not self.hparams.render_HDR_mapping
+        if use_sg_base:
+            l_sgs = sh_or_sg
+            if sg_use_self_shadow:
+                pts = rays_o + depths.reshape(-1, 1) * vdirs
+                l_sgs = self.sg_shadow.calc_self_shadow_light_decay(
+                    kwargs.get('model_radius'), pts, kwargs.get('model_pos'),
+                    sh_or_sg, kwargs.get('model_rot_inv'))
+            cols = sg_render_core(albedo_px, metal_px, rough_px, normal_px,
+                                  vdirs, l_sgs, clamp01, sg_use_self_shadow,
+                                  self.cubemap_rgb)
+        else:
+            sh9 = jnp.broadcast_to(sh_or_sg, (n_pix, SH_ORDER ** 2, 3))
+            cols = sh_render_core(albedo_px, metal_px, rough_px, normal_px,
+                                  vdirs, sh9, self.embed_fn_v,
+                                  self.model_brdf, clamp01, self.cubemap_rgb)
+        cols = cols * mask
+
+        render_res = jnp.zeros((self.H, self.W, 3))
+        render_res = render_res.at[hs:hl, ws:wl].set(
+            cols.reshape(height, width, 3))
+        depth_t = jnp.zeros((self.H, self.W))
+        depth_t = depth_t.at[hs:hl, ws:wl].set(
+            depths.reshape(height, width))
+        return render_res, depth_t
+
+    def get_update_range(self, bbox_cur, bbox_last):
+        if bbox_last is None or bbox_cur is None:
+            return self.screen_bound
+        return [[min(bbox_cur[0][0], bbox_last[0][0]),
+                 min(bbox_cur[0][1], bbox_last[0][1])],
+                [max(bbox_cur[1][0], bbox_last[1][0]),
+                 max(bbox_cur[1][1], bbox_last[1][1])]]
+
+    def render_insert_object(self, normals, depths, pose, sh_or_sg,
+                             metal=0.9, rough=0.2, albedo=None,
+                             full_return=False, use_sg_base=True,
+                             sg_use_self_shadow=True, **kwargs):
+        """Object render + incremental (dirty-rect) NeRF recomposite +
+        shadow application (reference main.py:620-684)."""
+        model_bbox = kwargs.get('model_bbox')
+        model_bbox_last = kwargs.get('model_bbox_last')
+        render_res, depth_t = self.render_object(
+            model_bbox, normals, depths, sh_or_sg, pose, metal, rough,
+            albedo, use_sg_base, sg_use_self_shadow, **kwargs)
+
+        (hs, ws), (hl, wl) = self.get_update_range(model_bbox,
+                                                   model_bbox_last)
+        height, width = hl - hs, wl - ws
+        rays_o, rays_d = get_rays(
+            self.directions[hs:hl, ws:wl].reshape(-1, 3), jnp.asarray(pose))
+        kwargs_r = {
+            'IM_bkg': render_res[hs:hl, ws:wl].reshape(-1, 3),
+            'mesh_depth_map': depth_t[hs:hl, ws:wl].reshape(-1)}
+        if self.hparams.use_EXR:
+            kwargs_r['output_radiance'] = True
+        rgb, depth_sur = self.render(rays_o, rays_d, **kwargs_r)
+        rgb = rgb.reshape(height, width, 3)
+        depth_sur = depth_sur.reshape(height, width, 1)
+        if self.last_rgb is not None:
+            self.last_rgb = self.last_rgb.at[hs:hl, ws:wl].set(rgb)
+            self.last_depth = self.last_depth.at[hs:hl, ws:wl].set(depth_sur)
+        else:
+            self.last_rgb = jnp.zeros((self.H, self.W, 3)).at[
+                hs:hl, ws:wl].set(rgb)
+            self.last_depth = jnp.zeros((self.H, self.W, 1)).at[
+                hs:hl, ws:wl].set(depth_sur)
+        rgb = self.last_rgb
+        depth_sur = self.last_depth
+
+        gen_shadow = kwargs.get('gen_shadow', 0)
+        if gen_shadow:
+            rays_o, rays_d = get_rays(self.directions.reshape(-1, 3),
+                                      jnp.asarray(pose))
+            if gen_shadow == 2:
+                rgb = self.shadow_cast(rays_o, rays_d, rgb, depth_sur,
+                                       kwargs.get('s_VP'),
+                                       kwargs.get('s_texSize'),
+                                       kwargs.get('s_im'),
+                                       kwargs.get('model_radius'))
+            elif use_sg_base:
+                rgb = self.ssdf_shadow(rays_o, rays_d, rgb, depth_sur,
+                                       sh_or_sg, **kwargs)
+            else:
+                rgb = self.shadow_field(rays_o, rays_d, rgb, depth_sur,
+                                        sh_or_sg, **kwargs)
+
+        rgb_final = rgb
+        if self.hparams.render_HDR_mapping:
+            rgb_final = tonemapping_simple(rgb_final)
+        rgb_final = np.asarray(rgb_final)
+        if full_return:
+            return rgb_final, rgb, depth_t, render_res
+        return rgb_final
+
+
+class NGPServer:
+    """TCP protocol with the external viewer — 14 actions
+    (reference insert/main.py:687-1191)."""
+
+    def __init__(self, insertor: NGPInsertor, record=False):
+        self.insertor = insertor
+        self.use_sg_base = True
+        self.sg_use_self_shadow = True
+        self.server = Server('127.0.0.1', 5001)
+        HWF = [insertor.H, insertor.W, float(insertor.K[0, 0])]
+        self.server.send(struct.pack('iif', *HWF))
+        self.server.send(np.asarray(insertor.blender_trans,
+                                    np.float32).tobytes())
+        self.server.send(struct.pack('f', insertor.blender_scale))
+        print('H,W,F for current scene is:', HWF)
+        self.act_dict = {
+            1: self.probe_pos_decoder,
+            2: self.cam_pose_decoder,
+            3: self.map_decoder,
+            4: self.material_decoder,
+            5: self.shadow_field_decoder,
+            6: self.render,
+            7: self.shadow_map_decoder,
+            8: self.shadow_path_decoder,
+            9: self.ssdf_path_decoder,
+            10: self.sg_use_sshadow,
+            11: self.cmp_methods_decoder,
+            12: self.run_decomposition_cmp_decoder,
+            13: self.update_save_index_decoder,
+            14: self.sg_shadow_facs_decoder,
+        }
+        self.cam_pose = None
+        self.normal = None
+        self.depth = None
+        self.sh = None
+        self.sg = None
+        self.fixed_lighting = False
+        self.shadow_mode = 0
+        self.model_pos = None
+        self.model_radius = None
+        self.model_rot_inv = None
+        self.model_bbox = None
+        self.model_bbox_last = None
+        self.pose_last = None
+        self.s_texSize = None
+        self.s_VP = None
+        self.s_im = None
+        self.render_num = 0
+        self.last_render_num = -1
+        self.save_idx = 0
+        self.metal = 0.9
+        self.rough = 0.2
+        self.albedo = None
+        self.dt = 0
+        self.vw = None
+        self.display = os.environ.get('DISPLAY') is not None
+        if record:
+            import cv2
+            video_path = os.path.join(insertor.gen_path, 'video.avi')
+            fourcc = cv2.VideoWriter_fourcc(*'XVID')
+            self.vw = cv2.VideoWriter(video_path, fourcc, 10.0,
+                                      (insertor.W, insertor.H), True)
+
+    # -- decoders ----------------------------------------------------------
+
+    def main_direction_light_sender(self):
+        """reference main.py:758-768 (hard-codes a light anchor point)."""
+        t = jnp.asarray([0.194, -0.165, -0.270]) - self.model_pos
+        self.main_light = normalize(t.reshape(1, 3))
+        self.server.send(np.asarray(self.main_light,
+                                    np.float32).tobytes())
+
+    def sg_light_sender(self):
+        self.server.send(np.asarray(self.sg, np.float32).tobytes())
+
+    def probe_pos_decoder(self, buf):
+        """Action 1: object moved -> regenerate the light probe
+        (reference main.py:774-801)."""
+        if self.last_render_num < self.render_num:
+            self.last_render_num = self.render_num
+        else:
+            self.model_bbox_last = None
+        self.shadow_mode, px, py, pz = struct.unpack('ifff', buf[:16])
+        self.model_rot_inv = jnp.asarray(
+            np.frombuffer(buf[16:], np.float32).reshape(3, 3).T.copy())
+        self.model_pos = jnp.asarray([px, py, pz])
+        if self.use_sg_base:
+            if not self.fixed_lighting:
+                self.sg = trans_raw_sg(
+                    self.insertor.generate_probe(self.model_pos, False))
+        else:
+            if not self.fixed_lighting:
+                self.sh = self.insertor.generate_probe(self.model_pos, True)
+        if self.shadow_mode == 2:
+            self.main_direction_light_sender()
+
+    def cam_pose_decoder(self, buf):
+        """Action 2: GL camera pose -> NeRF convention flip
+        (reference main.py:803-807)."""
+        pose = np.array(struct.unpack('f' * 16, buf),
+                        np.float32).reshape(4, 4)[:3]
+        pose = np.stack([pose[:, 0], -pose[:, 1], -pose[:, 2], pose[:, 3]],
+                        -1)
+        self.cam_pose = jnp.asarray(pose)
+
+    def map_decoder(self, buf):
+        """Action 3: object raster maps (normal/depth [+SV-BRDF]) + bbox
+        (reference main.py:817-846)."""
+        self.model_radius, hs, ws, hl, wl = struct.unpack('fiiii', buf[:20])
+        self.model_bbox_last = self.model_bbox
+        self.model_bbox = [[hs, ws], [hl, wl]]
+        H, W = hl - hs, wl - ws
+        im = np.frombuffer(buf[20:], np.float32)
+        if im.shape[0] > H * W * 4:  # SV-BRDF maps
+            px = H * W * 3
+            normal = im[:px].reshape(H, W, 3)
+            albedo = im[px:2 * px].reshape(H, W, 3)
+            dmr = im[2 * px:].reshape(H, W, 3)
+            self.normal = jnp.asarray(normal[::-1].copy())
+            self.depth = jnp.asarray(dmr[::-1, :, 0].copy())
+            self.albedo = jnp.asarray(albedo[::-1].copy())
+            self.metal = jnp.asarray(dmr[::-1, :, 1].copy())
+            self.rough = jnp.asarray(dmr[::-1, :, 2].copy())
+        else:
+            im = im.reshape(H, W, 4)
+            self.normal = jnp.asarray(im[::-1, :, :3].copy())
+            self.depth = jnp.asarray(im[::-1, :, 3].copy())
+
+    def material_decoder(self, buf):
+        """Action 4 (reference main.py:848-850)."""
+        self.rough, self.metal, r, g, b = struct.unpack('fffff', buf)
+        self.albedo = jnp.asarray([[r, g, b]])
+
+    def shadow_field_decoder(self, buf):
+        """Action 5 (reference main.py:852-855)."""
+        r, hmin, wmin, hmax, wmax = struct.unpack('fiiii', buf)
+        self.model_radius = r
+        self.model_bbox = [[hmin, wmin], [hmax, wmax]]
+
+    def shadow_map_decoder(self, buf):
+        """Action 7: rasterized shadow map (reference main.py:857-867)."""
+        tex_size = struct.unpack('i', buf[:4])[0]
+        s_vp = np.array(struct.unpack('f' * 16, buf[4:68]),
+                        np.float32).reshape(4, 4)
+        s_im = np.frombuffer(buf[68:], np.float32).reshape(
+            tex_size, tex_size, 1)
+        self.s_texSize = tex_size
+        self.s_VP = jnp.asarray(s_vp)
+        self.s_im = jnp.asarray(s_im[::-1].copy())
+
+    def shadow_path_decoder(self, buf):
+        """Action 8: load a mesh's shadow-field volume; switches to the SH
+        pipeline (reference main.py:869-879)."""
+        model_name = buf.decode()
+        sf_dir = os.path.join(self.insertor.gen_path, 'model_data')
+        os.makedirs(sf_dir, exist_ok=True)
+        sf_path = os.path.join(sf_dir, model_name + '.npz')
+        if not os.path.exists(sf_path):
+            raw = os.path.join(os.environ.get('VIEWER_SF_PATH', '.'),
+                               model_name + '.txt')
+            transform_sf_txt(raw, sf_path)
+        self.insertor.set_sf(sf_path)
+        self.use_sg_base = False
+
+    def ssdf_path_decoder(self, buf):
+        """Action 9: load the mesh's SG-SSDF PCA volume; switches to the SG
+        pipeline (reference main.py:881-888)."""
+        model_name = buf.decode()
+        sg_path = os.path.join(os.environ.get('VIEWER_SG_PATH', '.'),
+                               model_name + '.tar')
+        self.insertor.set_sg_shadow(sg_path)
+        self.use_sg_base = True
+
+    def sg_use_sshadow(self, buf):
+        """Action 10 (reference main.py:989-995)."""
+        self.sg_use_self_shadow = struct.unpack('i', buf)[0] == 1
+
+    def sg_shadow_facs_decoder(self, buf):
+        """Action 14 (reference main.py:1106-1110)."""
+        ins = self.insertor.sg_shadow
+        (ins.delta_angle_decay_fac, ins.delta_shadow_fac,
+         ins.delta_self_shadow_fac) = struct.unpack('fff', buf)
+
+    def update_save_index_decoder(self, buf):
+        """Action 13 (reference main.py:1097-1104)."""
+        import glob as _glob
+        import shutil
+        results = os.path.join(self.insertor.gen_path, 'results')
+        cmp_path = os.path.join(results, f'cmp{self.save_idx}')
+        try:
+            os.mkdir(cmp_path)
+            for f in _glob.glob(os.path.join(results,
+                                             f'{self.save_idx}_*')):
+                shutil.move(f, cmp_path)
+        except OSError:
+            print(f'{cmp_path} exists, auto organize close')
+        self.save_idx = struct.unpack('i', buf)[0]
+
+    def cmp_methods_decoder(self, buf):
+        """Action 11: comparisons against external lighting estimators —
+        requires their result files (reference main.py:933-986); gated."""
+        print('cmp_methods: external IRAdobe/EMLight results not available '
+              'in this environment; skipping')
+
+    # -- rendering actions -------------------------------------------------
+
+    def _render_kwargs(self):
+        kwargs = {}
+        if self.model_radius is not None:
+            kwargs = {'model_radius': self.model_radius,
+                      'model_pos': self.model_pos,
+                      'model_bbox': self.model_bbox,
+                      'model_bbox_last': self.model_bbox_last,
+                      'gen_shadow': self.shadow_mode}
+        if self.s_texSize is not None:
+            kwargs.update({'s_texSize': self.s_texSize, 's_VP': self.s_VP,
+                           's_im': self.s_im})
+        if USE_STD_SF:
+            kwargs['model_rot_inv'] = self.model_rot_inv
+        return kwargs
+
+    def save_results(self, buf, **kwargs):
+        """reference main.py:997-1024."""
+        import cv2
+        is_save_infos = struct.unpack('i', buf[:4])[0]
+        save_prefix = buf[4:].decode()
+        results_path = os.path.join(self.insertor.gen_path, 'results')
+        rgb, rgb_hdr, obj_depth, obj_render = \
+            self.insertor.render_insert_object(
+                self.normal, self.depth, self.cam_pose,
+                self.sg if self.use_sg_base else self.sh,
+                self.metal, self.rough, self.albedo, True,
+                self.use_sg_base, self.sg_use_self_shadow, **kwargs)
+        res = (np.clip(rgb, 0, 1) * 255).astype('uint8')
+        cv2.imwrite(os.path.join(results_path,
+                                 f'{self.save_idx}_{save_prefix}.png'),
+                    cv2.cvtColor(res, cv2.COLOR_RGB2BGR))
+        cv2.imwrite(os.path.join(results_path,
+                                 f'{self.save_idx}_{save_prefix}.exr'),
+                    np.asarray(rgb_hdr)[..., ::-1])
+        if is_save_infos == 1:
+            np.savez(os.path.join(results_path,
+                                  f'{self.save_idx}_info.npz'),
+                     rgb_HDR=np.asarray(rgb_hdr),
+                     obj_depth=np.asarray(obj_depth),
+                     obj_render=np.asarray(obj_render))
+            print(f'Current render result saved with id: {self.save_idx}')
+        return rgb
+
+    def run_decomposition_cmp_decoder(self, buf):
+        """Action 12: decomposition ablations (reference main.py:1027-1095)."""
+        import cv2
+        results_path = os.path.join(self.insertor.gen_path, 'results')
+
+        def to_im(im):
+            im = tonemapping_simple(im)
+            return cv2.cvtColor(
+                (np.clip(np.asarray(im), 0, 1) * 255).astype(np.uint8),
+                cv2.COLOR_RGB2BGR)
+
+        sg_map = to_im(sg2envmap(self.sg, 256, 512)[::-1, ::-1])
+        cv2.imwrite(os.path.join(results_path,
+                                 f'{self.save_idx}_nerf_SG.png'), sg_map)
+
+        sd, ssd = self.shadow_mode, self.sg_use_self_shadow
+        self.shadow_mode = 0
+        self.sg_use_self_shadow = False
+        self.render(struct.pack('i', 0) + b'nerf_no_any_shadow')
+        self.shadow_mode = 1
+        self.render(struct.pack('i', 0) + b'nerf_no_self_shadow')
+        self.sg_use_self_shadow = True
+
+        if self.insertor.global_sh is not None:
+            gsh = self.insertor.global_sh
+            n_iter = self.insertor.env_opt.n_iter
+            self.insertor.env_opt.n_iter = 450
+            self.insertor.global_sh = jnp.zeros_like(gsh)
+            self.sg = trans_raw_sg(
+                self.insertor.generate_probe(self.model_pos, False))
+            self.render(struct.pack('i', 0) + b'nerf_no_globalSH')
+            self.insertor.global_sh = gsh
+            self.insertor.env_opt.n_iter = n_iter
+            sh_env = to_im(sh2envmap(gsh[0], 256, 512)[::-1, ::-1])
+            cv2.imwrite(os.path.join(results_path,
+                                     f'{self.save_idx}_globalSH.png'),
+                        sh_env)
+        self.shadow_mode, self.sg_use_self_shadow = sd, ssd
+
+    def render(self, buf):
+        """Action 6 (reference main.py:1113-1178)."""
+        t_s = time.time()
+        if self.pose_last is not None and self.cam_pose is not None:
+            if float(jnp.sum(jnp.abs(self.cam_pose - self.pose_last))) > 1e-6:
+                self.model_bbox_last = None
+        self.pose_last = self.cam_pose
+
+        if self.normal is None or self.depth is None or \
+                (self.sh is None and self.sg is None):
+            if self.cam_pose is None:
+                print('Error: render info not complete')
+                rgb = None
+            else:
+                rgb, _, _, _ = self.insertor.render_pose(self.cam_pose)
+        else:
+            kwargs = self._render_kwargs()
+            if len(buf) != 0:
+                rgb = self.save_results(buf, **kwargs)
+            else:
+                rgb = self.insertor.render_insert_object(
+                    self.normal, self.depth, self.cam_pose,
+                    self.sg if self.use_sg_base else self.sh,
+                    self.metal, self.rough, self.albedo, False,
+                    self.use_sg_base, self.sg_use_self_shadow, **kwargs)
+        if rgb is not None:
+            self._display(rgb)
+        self.dt = time.time() - t_s
+        self.render_num += 1
+        try:
+            self.server.send(struct.pack('i', 0))  # render complete
+        except Exception:
+            pass
+
+    def _display(self, rgb):
+        if self.vw is not None:
+            import cv2
+            self.vw.write(cv2.cvtColor((np.clip(rgb, 0, 1) * 255)
+                                       .astype('uint8'), cv2.COLOR_RGB2BGR))
+        if self.display:
+            try:
+                import cv2
+                cv2.imshow('render', cv2.cvtColor(
+                    np.asarray(rgb, np.float32), cv2.COLOR_RGB2BGR))
+                cv2.waitKey(1)
+            except Exception:
+                self.display = False
+
+    def run(self):
+        while True:
+            buf = self.server.receive()
+            if buf == b'':
+                break
+            action = int.from_bytes(buf[:4], 'little')
+            if action == 0:
+                break
+            self.act_dict[action](buf[4:])
+
+    def __del__(self):
+        if self.vw is not None:
+            self.vw.release()
+
+
+def main():
+    from ..opt import get_opts
+    hparams = get_opts()
+    insertor = NGPInsertor(hparams)
+    insertor.generate_point_cloud()
+    if not hparams.no_global_SH:
+        insertor.train_global_sh_light()
+    NGPServer(insertor, False).run()
+
+
+if __name__ == '__main__':
+    main()

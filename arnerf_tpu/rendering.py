@@ -201,3 +201,28 @@ def render_test(params, grid_state, rays_o, rays_d, cfg: NGPConfig, *,
             rgb_bg = im_bkg
         result["rgb"] = result["rgb"] + rgb_bg * (1.0 - result["opacity"][:, None])
     return result
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def render_surface_normal(params, pts, cfg: NGPConfig):
+    """Surface normals as the negative normalized density gradient
+    (reference models/rendering.py:300-313). pts: (..., 3) -> (..., 3)."""
+    from .models.ngp import ngp_density
+    flat = pts.reshape(-1, 3)
+
+    def sigma_sum(x):
+        return jnp.sum(ngp_density(params, x, cfg))
+
+    grads = jax.grad(sigma_sum)(flat)
+    grads = jnp.nan_to_num(grads, nan=0.0, posinf=1.0, neginf=-1.0)
+    normals = -grads / (jnp.linalg.norm(grads, axis=-1, keepdims=True) + 1e-6)
+    return normals.reshape(pts.shape)
+
+
+def render_surface_rgb(params, pts, rays_d, cfg: NGPConfig, **kwargs):
+    """Radiance emitted at surface points toward given directions
+    (reference models/rendering.py:315-320)."""
+    from .models.ngp import ngp_forward
+    sigmas, rgbs = ngp_forward(params, pts.reshape(-1, 3),
+                               rays_d.reshape(-1, 3), cfg, **kwargs)
+    return rgbs.reshape(*pts.shape[:-1], 3)

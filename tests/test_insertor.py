@@ -1,0 +1,136 @@
+"""AR insertor end-to-end smoke tests (offline prep + relight/composite
+paths), on a tiny synthetic scene — no TCP, no viewer."""
+
+import os
+import types
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from arnerf_tpu.insert.main import NGPInsertor, SH_ORDER
+
+
+def make_hparams(tmp_path, **over):
+    hp = types.SimpleNamespace(
+        root_dir="", dataset_name="synthetic", split="train", downsample=1.0,
+        scale=0.5, use_exposure=False, use_EXR=False,
+        distortion_loss_w=0, depth_loss_w=0, loss_func="raw",
+        batch_size=1024, ray_sampling_strategy="all_images", num_epochs=1,
+        num_gpus=1, lr=1e-2, optimize_ext=False, random_bg=False,
+        val_batch_size=2 ** 20, eval_lpips=False, val_only=False,
+        no_save_test=True, exp_name="t_insert", ckpt_path=None,
+        weight_path=None, low_resolution=1.0, max_pc_pts_num=int(1e4),
+        no_global_SH=False, train_SH_HDR_mapping=False,
+        gen_probe_HDR_mapping=False, render_HDR_mapping=False)
+    for k, v in over.items():
+        setattr(hp, k, v)
+    return hp
+
+
+@pytest.fixture(scope="module")
+def insertor(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("insert")
+    cwd = os.getcwd()
+    os.chdir(tmp)
+    try:
+        hp = make_hparams(tmp)
+        # monkeypatch the dataset to a tiny procedural config
+        from arnerf_tpu.datasets.synthetic import SyntheticConfig
+        import arnerf_tpu.datasets as dsets
+        orig = dsets.dataset_dict["synthetic"]
+        dsets.dataset_dict["synthetic"] = lambda **kw: orig(
+            config=SyntheticConfig(img_wh=(24, 24), n_train=3, n_test=1,
+                                   gt_samples=32), **kw)
+        ins = NGPInsertor(hp)
+        dsets.dataset_dict["synthetic"] = orig
+        # give the model a non-trivial occupancy (sphere) so rays hit things
+        from arnerf_tpu.models import grid_state_init
+        gs = grid_state_init(ins.cfg)
+        G = ins.cfg.grid_size
+        g = (np.arange(G) + 0.5) / G * 2 - 1
+        X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+        occ = (np.sqrt(X ** 2 + Y ** 2 + Z ** 2) < 0.6).astype(np.uint8)
+        ins.grid_state = gs._replace(occ_flat=jnp.asarray(occ.reshape(-1)))
+        yield ins
+    finally:
+        os.chdir(cwd)
+
+
+def test_render_pose_shapes(insertor):
+    rgb, depth, _, _ = insertor.render_pose(insertor.dataset.poses[0])
+    assert rgb.shape == (insertor.H, insertor.W, 3)
+    assert depth.shape == (insertor.H, insertor.W)
+    assert np.isfinite(rgb).all()
+
+
+def test_generate_surface_and_point_cloud(insertor):
+    insertor.generate_surface(save=True)
+    assert insertor.spts.shape == (3, insertor.H, insertor.W, 3)
+    assert insertor.normals.shape == (3, insertor.H, insertor.W, 3)
+    # normals are unit-ish where defined
+    nn = np.linalg.norm(insertor.normals.reshape(-1, 3), axis=1)
+    assert np.nanmax(nn) < 1.5
+    insertor.generate_point_cloud()
+    assert os.path.exists(os.path.join(insertor.gen_path, "pc.ply"))
+    assert os.path.exists(os.path.join(insertor.gen_path, "btrans.npy"))
+
+
+def test_generate_probe_sh_and_sg(insertor):
+    pt = jnp.asarray([0.0, 0.0, 0.0])
+    sh = insertor.generate_probe(pt, sh_probe=True)
+    assert sh.shape == (1, SH_ORDER ** 2, 3)
+    env = insertor.generate_probe(pt, return_envmap=True)
+    assert env.shape == (128, 128, 3)
+    insertor.env_opt.n_iter = 5  # keep the test fast
+    sg = insertor.generate_probe(pt, sh_probe=False)
+    assert sg.shape[-1] == 7
+
+
+def test_generate_sh_probes_for_precompute(insertor):
+    pts = jnp.asarray(np.random.default_rng(0).uniform(-0.2, 0.2, (4, 3)),
+                      jnp.float32)
+    rgb_sh, opc_sh = insertor.generate_sh_probes_for_precompute(pts)
+    assert rgb_sh.shape == (4, 9, 3)
+    assert opc_sh.shape == (4, 9, 1)
+    # DC of the transmittance SH must be within the physical range
+    dc = np.asarray(opc_sh[:, 0, 0]) / np.sqrt(4 * np.pi)
+    assert np.all(dc > -0.2) and np.all(dc < 1.2)
+
+
+def test_render_object_and_insert(insertor):
+    H = W = 8
+    bbox = [[4, 4], [4 + H, 4 + W]]
+    rng = np.random.default_rng(1)
+    normals = jnp.asarray(rng.normal(size=(H, W, 3)), jnp.float32)
+    normals = normals / jnp.linalg.norm(normals, axis=-1, keepdims=True)
+    depths = jnp.asarray(np.full((H, W), 1.0, np.float32))
+    pose = jnp.asarray(insertor.dataset.poses[0])
+
+    # SH path (neural BRDF runs with random weights; shapes/finiteness only)
+    sh = insertor.generate_probe(jnp.zeros(3), sh_probe=True)
+    res, depth_t = insertor.render_object(
+        bbox, normals, depths, sh, pose, use_sg_base=False)
+    assert res.shape == (insertor.H, insertor.W, 3)
+    assert np.isfinite(np.asarray(res)).all()
+    assert float(jnp.sum(depth_t > 0)) == H * W
+
+    # full insert composite (no shadows: no SSDF volume loaded)
+    out = insertor.render_insert_object(
+        normals, depths, pose, sh, full_return=False, use_sg_base=False,
+        sg_use_self_shadow=False, model_bbox=bbox, model_bbox_last=None)
+    assert out.shape == (insertor.H, insertor.W, 3)
+    assert np.isfinite(out).all()
+
+
+def test_simplify_shadow_field_darkens_near_occluder(insertor):
+    from arnerf_tpu.insert.shadow_fields import SimplifySF, soft_shadow_map
+    sf = SimplifySF(grid=24)
+    model_pos = jnp.zeros(3)
+    light_sh = jnp.zeros((1, 9, 3)).at[:, 0, :].set(2.0)  # ambient light
+    near_pts = jnp.asarray([[0.0, -1.2, 0.0]])   # close below the object
+    far_pts = jnp.asarray([[0.0, -5.5, 0.0]])    # far below
+    s_near = float(soft_shadow_map(sf, model_pos, 1.0, light_sh, near_pts)[0])
+    s_far = float(soft_shadow_map(sf, model_pos, 1.0, light_sh, far_pts)[0])
+    assert s_near < s_far <= 1.0 + 1e-6
