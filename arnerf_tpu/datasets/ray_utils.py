@@ -52,7 +52,10 @@ def axisangle_to_R(v):
         jnp.concatenate([zero, -v[:, 2:3], v[:, 1:2]], 1),
         jnp.concatenate([v[:, 2:3], zero, -v[:, 0:1]], 1),
         jnp.concatenate([-v[:, 1:2], v[:, 0:1], zero], 1)], axis=1)
-    norm = jnp.linalg.norm(v, axis=1)[:, None, None] + 1e-7
+    # sqrt(sum+eps) keeps the derivative finite at v = 0 (plain norm has a
+    # NaN gradient there, which poisons --optimize_ext's zero-initialized
+    # deltas on the very first step)
+    norm = jnp.sqrt(jnp.sum(v * v, axis=1) + 1e-14)[:, None, None]
     eye = jnp.eye(3)[None]
     return (eye + jnp.sin(norm) / norm * skew
             + (1 - jnp.cos(norm)) / norm ** 2 * (skew @ skew))

@@ -108,6 +108,10 @@ def march_rays_train(rays_o, rays_d, hits_t, occ_flat, noise, *,
     lt = partial(lattice_t, exp_step_factor=exp_step_factor,
                  max_samples=max_samples, grid_size=grid_size, scale=scale)
 
+    # t values are constants w.r.t. the rays, matching the reference's
+    # RayMarcher backward (custom_functions.py:102-112): gradients reach
+    # rays_o/rays_d only through xyzs = o + t*d, not through the bounds
+    hits_t = jax.lax.stop_gradient(hits_t)
     t1, t2 = hits_t[:, 0], hits_t[:, 1]
     ray_ok = t1 >= 0
     # perturb the first sample of each ray (reference: custom_functions.py:83,

@@ -37,6 +37,5 @@ def make_dp_train_step(mesh, train_step_impl, kw):
     mapped = shard_map(
         local_step, mesh=mesh,
         in_specs=(rep, rep, rep, rep, rep, rep, P(axis), rep),
-        out_specs=(rep, rep, rep),
-        check_rep=False)
+        out_specs=(rep, rep, rep))
     return jax.jit(mapped, donate_argnums=(0, 1))

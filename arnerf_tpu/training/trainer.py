@@ -48,6 +48,7 @@ class TrainConfig:
     ray_sampling_strategy: str = "all_images"
     use_exposure: bool = False
     erode: bool = False                  # reference: colmap datasets only
+    unit_exposure_rgb: float = 0.5       # HDR-NeRF anchor (colmap.py:94,106)
     loss: NeRFLossConfig = field(default_factory=NeRFLossConfig)
     # TPU sample-buffer budget: avg samples/ray the compact buffer can hold
     samples_per_ray_budget: int = 48
@@ -74,7 +75,20 @@ def cosine_epoch_schedule(lr0: float, num_epochs: int, steps_per_epoch: int):
 def make_optimizer(tc: TrainConfig):
     sched = cosine_epoch_schedule(tc.lr, tc.num_epochs, tc.steps_per_epoch)
     # FusedAdam(lr, eps=1e-15) equivalent (reference train.py:146)
-    return optax.adam(learning_rate=sched, eps=1e-15), sched
+    net_opt = optax.adam(learning_rate=sched, eps=1e-15)
+    if not tc.optimize_ext:
+        return net_opt, sched
+    # pose refinement gets its own Adam at the reference's hard-coded 1e-6
+    # (train.py:148-149)
+    pose_opt = optax.adam(learning_rate=1e-6)
+
+    def labels(params):
+        return {k: (jax.tree.map(lambda _: "pose", v) if k == "pose_deltas"
+                    else jax.tree.map(lambda _: "net", v))
+                for k, v in params.items()}
+
+    tx = optax.multi_transform({"net": net_opt, "pose": pose_opt}, labels)
+    return tx, sched
 
 
 def sample_rays(images, poses, directions, key, tc: TrainConfig,
@@ -111,13 +125,14 @@ def train_step_impl(params, opt_state, grid_state, images, poses, directions,
     """Pure training step; when axis_name is set, gradients/metrics are
     psum-joined across the device mesh (the DDP all-reduce equivalent)."""
     k_sample, k_render = jax.random.split(key)
-    pose_deltas = params.get("pose_deltas") if tc.optimize_ext else None
-    rays_o, rays_d, rgb_gt, exposure = sample_rays(
-        images, poses, directions, k_sample, tc, pose_deltas)
-
     m_cap = tc.batch_size * tc.samples_per_ray_budget
 
     def loss_fn(p):
+        # ray generation must live inside the loss so --optimize_ext pose
+        # deltas receive gradients through rays_o/rays_d
+        pose_deltas = p.get("pose_deltas") if tc.optimize_ext else None
+        rays_o, rays_d, rgb_gt, exposure = sample_rays(
+            images, poses, directions, k_sample, tc, pose_deltas)
         results = render_train(
             {k: v for k, v in p.items() if k != "pose_deltas"},
             grid_state, rays_o, rays_d, k_render, cfg,
@@ -125,9 +140,19 @@ def train_step_impl(params, opt_state, grid_state, images, poses, directions,
             m_cap=m_cap, s_cap=tc.s_cap, max_samples=tc.max_samples,
             exposure=exposure)
         ld = nerf_loss(results, rgb_gt, tc.loss)
-        return total_loss(ld), results
+        if tc.use_exposure:
+            # anchor the tonemappers at unit exposure (reference
+            # train.py:182-187)
+            from ..models.ngp import ngp_log_radiance_to_rgb
+            unit_rgb = ngp_log_radiance_to_rgb(
+                {k2: v for k2, v in p.items() if k2 != "pose_deltas"},
+                jnp.zeros((1, 3)), exposure=jnp.ones((1, 1)))
+            ld["unit_exposure"] = 0.5 * (unit_rgb
+                                         - tc.unit_exposure_rgb) ** 2
+        return total_loss(ld), (results, rgb_gt)
 
-    (loss, results), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    (loss, (results, rgb_gt)), grads = \
+        jax.value_and_grad(loss_fn, has_aux=True)(params)
     if axis_name is not None:
         grads = jax.lax.pmean(grads, axis_name)
     updates, opt_state = tx.update(grads, opt_state, params)
