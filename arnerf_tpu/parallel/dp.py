@@ -39,3 +39,35 @@ def make_dp_train_step(mesh, train_step_impl, kw):
         in_specs=(rep, rep, rep, rep, rep, rep, P(axis), rep),
         out_specs=(rep, rep, rep))
     return jax.jit(mapped, donate_argnums=(0, 1))
+
+
+def make_dp_train_block(mesh, train_block_impl, kw):
+    """Fused [grid update + N steps] block under shard_map. The grid update
+    runs with the same key on every device (identical replicated result);
+    per-step ray batches stay device-private."""
+    from functools import lru_cache
+    axis = mesh.axis_names[0]
+    rep = P()
+
+    @lru_cache(maxsize=None)
+    def compiled(warmup: bool):
+        def local_block(params, opt_state, grid_state, images, poses,
+                        directions, keys, grid_key):
+            return train_block_impl(
+                params, opt_state, grid_state, images, poses, directions,
+                keys[0], axis_name=axis, warmup=warmup, grid_key=grid_key,
+                **kw)
+
+        fn = shard_map(local_block, mesh=mesh,
+                       in_specs=(rep, rep, rep, rep, rep, rep, P(axis), rep),
+                       out_specs=(rep, rep, rep, rep))
+        return jax.jit(fn, donate_argnums=(0, 1, 2))
+
+    def call(params, opt_state, grid_state, images, poses, directions, keys,
+             *, warmup):
+        # replicated grid key derived deterministically from device 0's key
+        grid_key = jax.random.fold_in(keys[0], 7)
+        return compiled(bool(warmup))(params, opt_state, grid_state, images,
+                                      poses, directions, keys, grid_key)
+
+    return call

@@ -178,8 +178,16 @@ def render_test(params, grid_state, rays_o, rays_d, cfg: NGPConfig, *,
             ro = jnp.concatenate([ro, jnp.zeros((pad, 3))])
             rd = jnp.concatenate([rd, jnp.ones((pad, 3))])
         kw = dict(kwargs)
-        if kw.get("exposure") is not None and kw["exposure"].shape[0] == N:
-            kw["exposure"] = kw["exposure"][i:i + chunk]
+        if kw.get("exposure") is not None:
+            e = kw["exposure"]
+            if e.ndim == 0 or e.shape[0] == 1:
+                e = jnp.broadcast_to(jnp.reshape(e, (1, 1)), (chunk, 1))
+            else:
+                e = e[i:i + chunk]
+                if e.shape[0] < chunk:
+                    e = jnp.concatenate(
+                        [e, jnp.ones((chunk - e.shape[0], 1))])
+            kw["exposure"] = e
         if kw.get("mesh_depth_map") is not None:
             mdm = kw["mesh_depth_map"][i:i + chunk]
             if n < chunk:

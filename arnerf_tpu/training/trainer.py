@@ -169,6 +169,42 @@ def train_step_impl(params, opt_state, grid_state, images, poses, directions,
     return params, opt_state, metrics
 
 
+def train_block_impl(params, opt_state, grid_state, images, poses,
+                     directions, key, *, cfg: NGPConfig, tc: TrainConfig,
+                     tx, exp_step_factor: float, warmup: bool,
+                     axis_name: Optional[str] = None, grid_key=None):
+    """One fused block = density-grid update + `update_interval` training
+    steps as a single compiled program (lax.scan over steps).
+
+    The reference updates the grid every 16 steps (train.py:174-178), so a
+    block IS that natural cadence — fusing it removes 16x the host dispatch
+    per block, which matters even more through a remote TPU tunnel than on
+    local PCIe."""
+    k_grid, k_steps = jax.random.split(key)
+    if grid_key is not None:
+        # under shard_map the grid update must use a REPLICATED key so all
+        # devices keep bitwise-identical occupancy state
+        k_grid = grid_key
+    thr = 0.01 * MAX_SAMPLES / (3 ** 0.5)
+    model_params = {k: v for k, v in params.items() if k != "pose_deltas"}
+    grid_state = update_density_grid(
+        model_params, grid_state, k_grid, cfg, density_threshold=thr,
+        warmup=warmup, decay=tc.density_decay, erode=tc.erode)
+
+    def body(carry, k):
+        p, o = carry
+        p, o, metrics = train_step_impl(
+            p, o, grid_state, images, poses, directions, k, 0,
+            cfg=cfg, tc=tc, tx=tx, exp_step_factor=exp_step_factor,
+            axis_name=axis_name)
+        return (p, o), metrics
+
+    keys = jax.random.split(k_steps, tc.update_interval)
+    (params, opt_state), ms = jax.lax.scan(body, (params, opt_state), keys)
+    metrics = jax.tree.map(lambda x: x[-1], ms)
+    return params, opt_state, grid_state, metrics
+
+
 class NeRFTrainer:
     """Owns model/optimizer/grid state and the compiled step functions."""
 
@@ -209,9 +245,14 @@ class NeRFTrainer:
             self._step = jax.jit(
                 partial(train_step_impl, axis_name=None, **kw),
                 donate_argnums=(0, 1))
+            self._block = jax.jit(
+                partial(train_block_impl, axis_name=None, **kw),
+                static_argnames=("warmup",), donate_argnums=(0, 1, 2))
         else:
-            from ..parallel.dp import make_dp_train_step
+            from ..parallel.dp import make_dp_train_step, make_dp_train_block
             self._step = make_dp_train_step(self.mesh, train_step_impl, kw)
+            self._block = make_dp_train_block(self.mesh, train_block_impl,
+                                              kw)
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -245,20 +286,44 @@ class NeRFTrainer:
         self.step += 1
         return metrics
 
-    def fit(self, n_steps=None, log_every=1000, callback=None):
+    def train_block(self):
+        """Fused [grid update + update_interval steps]; requires self.step
+        to be block-aligned."""
+        assert self.step % self.tc.update_interval == 0
+        self.key, k = jax.random.split(self.key)
+        if self.mesh is not None:
+            n = len(self.mesh.devices.flatten())
+            k = jax.random.split(k, n)
+        self.params, self.opt_state, self.grid_state, metrics = self._block(
+            self.params, self.opt_state, self.grid_state, self.images,
+            self.poses, self.directions, k,
+            warmup=self.step < self.tc.warmup_steps)
+        self.step += self.tc.update_interval
+        return metrics
+
+    def fit(self, n_steps=None, log_every=1000, callback=None,
+            use_blocks=True):
         self.on_train_start()
         n = n_steps if n_steps is not None else self.tc.total_steps
         t0 = time.time()
+        start = self.step
         last = {}
-        for _ in range(n):
-            last = self.train_step()
+        while self.step - start < n:
+            remaining = n - (self.step - start)
+            if use_blocks and self.step % self.tc.update_interval == 0 \
+                    and remaining >= self.tc.update_interval:
+                last = self.train_block()
+            else:
+                last = self.train_step()
             if callback is not None:
                 callback(self.step, last)
-            if log_every and self.step % log_every == 0:
+            if log_every and self.step % log_every < (
+                    self.tc.update_interval if use_blocks else 1):
                 m = {k: float(v) for k, v in last.items()}
                 print(f"step {self.step}: "
                       + " ".join(f"{k}={v:.4g}" for k, v in m.items())
-                      + f" ({self.step / (time.time() - t0):.1f} it/s)")
+                      + f" ({(self.step - start) / (time.time() - t0):.1f}"
+                      " it/s)", flush=True)
         return last
 
     # -- evaluation --------------------------------------------------------

@@ -21,6 +21,14 @@ import numpy as np
 
 def main():
     import jax
+    # persistent compile cache: amortizes the slow remote-tunnel compiles
+    # across processes/rounds
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from arnerf_tpu.models import NGPConfig
     from arnerf_tpu.training import TrainConfig, NeRFTrainer
@@ -32,12 +40,15 @@ def main():
     steps = int(sys.argv[sys.argv.index("--steps") + 1]) \
         if "--steps" in sys.argv else 512
 
+    print(f"bench: generating data ({wh}x{wh})...", file=sys.stderr,
+          flush=True)
     t0 = time.time()
     scfg = SyntheticConfig(img_wh=(wh, wh), n_train=24, n_test=2,
                            gt_samples=512)
     train_ds = SyntheticDataset(split="train", config=scfg)
     test_ds = SyntheticDataset(split="test", config=scfg)
     data_s = time.time() - t0
+    print(f"bench: data ready in {data_s:.1f}s", file=sys.stderr, flush=True)
 
     cfg = NGPConfig(scale=0.5)  # flagship: L=16, T=2^19, 128^3 grid
     tc = TrainConfig(batch_size=8192, lr=1e-2, num_epochs=30,
@@ -46,31 +57,42 @@ def main():
                      loss=NeRFLossConfig(grid_scale=0.5))
     trainer = NeRFTrainer(cfg, tc, train_ds, test_ds,
                           key=jax.random.PRNGKey(0))
+    print("bench: mark_invisible_cells...", file=sys.stderr, flush=True)
     trainer.on_train_start()
 
-    # compile + warmup (cover both warmup and post-warmup grid programs)
-    for _ in range(8):
-        trainer.train_step()
+    # training runs in fused blocks: [grid update + 16 steps] per device call
+    bs = tc.update_interval
+    print("bench: compiling train block...", file=sys.stderr, flush=True)
+    m = trainer.train_block()
+    print("bench: first block done", file=sys.stderr, flush=True)
+    while trainer.step < 2 * bs:
+        m = trainer.train_block()
     jax.block_until_ready(trainer.params["hash_table"])
 
+    print("bench: timing early phase...", file=sys.stderr, flush=True)
     t0 = time.time()
-    m = {}
-    for _ in range(steps):
-        m = trainer.train_step()
+    n_blocks = max(1, steps // bs)
+    for _ in range(n_blocks):
+        m = trainer.train_block()
     jax.block_until_ready(trainer.params["hash_table"])
     dt = time.time() - t0
-    steps_per_s = steps / dt
+    steps_per_s = n_blocks * bs / dt
+    print(f"bench: early {steps_per_s:.1f} steps/s", file=sys.stderr,
+          flush=True)
 
+    print("bench: advancing past warmup...", file=sys.stderr, flush=True)
     # post-warmup throughput once the grid is carved (the steady state that
     # dominates a 30k-step run)
-    while trainer.step < tc.warmup_steps + 64:
-        trainer.train_step()
+    while trainer.step < tc.warmup_steps + 2 * bs:
+        m = trainer.train_block()
     jax.block_until_ready(trainer.params["hash_table"])
     t0 = time.time()
-    for _ in range(256):
-        m = trainer.train_step()
+    for _ in range(16):
+        m = trainer.train_block()
     jax.block_until_ready(trainer.params["hash_table"])
-    steady_steps_per_s = 256 / (time.time() - t0)
+    steady_steps_per_s = 16 * bs / (time.time() - t0)
+    print(f"bench: steady {steady_steps_per_s:.1f} steps/s", file=sys.stderr,
+          flush=True)
 
     # interactive render FPS at wh x wh
     from arnerf_tpu.datasets.ray_utils import get_rays
@@ -78,6 +100,7 @@ def main():
     pose = jnp.asarray(test_ds.poses[0])
     rays_o, rays_d = get_rays(jnp.asarray(test_ds.directions), pose)
     from arnerf_tpu.rendering import render_test
+    print("bench: compiling render...", file=sys.stderr, flush=True)
     render_test(trainer.model_params, trainer.grid_state, rays_o, rays_d,
                 cfg, T_threshold=1e-2, max_samples=128)  # compile (GUI spec)
     t0 = time.time()

@@ -29,6 +29,13 @@ def main():
         raise ValueError('You need to provide a @ckpt_path for validation!')
 
     import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(
+                              os.path.abspath(__file__)), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from arnerf_tpu.datasets import dataset_dict
     from arnerf_tpu.models import NGPConfig
