@@ -42,3 +42,24 @@ def read_image(img_path, img_wh, blend_a=True, exr_file=False):
             img = img[..., :3] * img[..., -1:]
     img = cv2.resize(img, img_wh)
     return img.reshape(-1, img.shape[-1]).astype(np.float32)
+
+
+def read_images(img_paths, img_wh, blend_a=True, exr_file=False):
+    """Batch image read: native threaded C++ decoder when available
+    (arnerf_tpu/native), Python per-image fallback otherwise.
+    Returns (n, W*H, 3) float32."""
+    if img_paths and not exr_file:
+        # EXR premultiply semantics differ per-loader; native path covers
+        # LDR + EXR uniformly, but cv2 EXR handling (BGR swap) is kept in
+        # the fallback for bit-exactness with the reference
+        try:
+            from ..native import load_images_batch
+            out = load_images_batch(list(img_paths), img_wh, blend_a)
+            if out is not None:
+                return out
+        except Exception:
+            pass
+    import numpy as _np
+    return _np.stack([read_image(p, img_wh, blend_a, exr_file)[:, :3]
+                      for p in img_paths]) if img_paths else \
+        _np.zeros((0, img_wh[0] * img_wh[1], 3), _np.float32)

@@ -8,7 +8,7 @@ import os
 import numpy as np
 
 from .ray_utils import get_ray_directions
-from .color_utils import read_image
+from .color_utils import read_image, read_images
 from .base import BaseDataset
 
 
@@ -68,7 +68,7 @@ class NeRFDataset(BaseDataset):
             img_path = os.path.join(self.root_dir,
                                     f"{frame['file_path']}.png")
             if os.path.exists(img_path):
-                rays.append(read_image(img_path, self.img_wh))
+                rays.append(img_path)
 
         # viewer/insertor transform back to original blender coordinates
         self.blender_trans = np.eye(4)
@@ -80,5 +80,5 @@ class NeRFDataset(BaseDataset):
                 self.blender_trans[0, 3] += 0.7
 
         if rays:
-            self.rays = np.stack(rays).astype(np.float32)
+            self.rays = read_images(rays, self.img_wh)
         self.poses = np.stack(poses).astype(np.float32)

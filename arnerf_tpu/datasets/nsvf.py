@@ -9,7 +9,7 @@ import os
 import numpy as np
 
 from .ray_utils import get_ray_directions
-from .color_utils import read_image
+from .color_utils import read_image, read_images
 from .base import BaseDataset
 
 
@@ -89,16 +89,14 @@ class NSVFDataset(BaseDataset):
                 os.path.join(self.root_dir, 'rgb', prefix + '*.png')))
             pose_files = sorted(glob.glob(
                 os.path.join(self.root_dir, 'pose', prefix + '*.txt')))
-            for img_path, pose in zip(img_paths, pose_files):
+            for pose in pose_files:
                 c2w = np.loadtxt(pose)[:3]
                 c2w[:, 3] -= self.shift
                 c2w[:, 3] /= 2 * self.scale
                 poses.append(c2w)
-                img = read_image(img_path, self.img_wh)
+            if img_paths:
+                self.rays = read_images(img_paths, self.img_wh)
                 if 'Jade' in self.root_dir or 'Fountain' in self.root_dir:
                     # black background -> white (reference nsvf.py:93-95)
-                    img[np.all(img <= 0.1, axis=-1)] = 1.0
-                rays.append(img)
-            if rays:
-                self.rays = np.stack(rays).astype(np.float32)
+                    self.rays[np.all(self.rays <= 0.1, axis=-1)] = 1.0
         self.poses = np.stack(poses).astype(np.float32)

@@ -767,9 +767,17 @@ class NGPServer:
         cv2.imwrite(os.path.join(results_path,
                                  f'{self.save_idx}_{save_prefix}.png'),
                     cv2.cvtColor(res, cv2.COLOR_RGB2BGR))
-        cv2.imwrite(os.path.join(results_path,
-                                 f'{self.save_idx}_{save_prefix}.exr'),
-                    np.asarray(rgb_hdr)[..., ::-1])
+        try:
+            ok = cv2.imwrite(os.path.join(
+                results_path, f'{self.save_idx}_{save_prefix}.exr'),
+                np.asarray(rgb_hdr)[..., ::-1])
+        except cv2.error:
+            ok = False
+        if not ok:  # this image's cv2 lacks an EXR writer -> native OpenEXR
+            from ..native import write_exr
+            write_exr(os.path.join(
+                results_path, f'{self.save_idx}_{save_prefix}.exr'),
+                np.asarray(rgb_hdr))
         if is_save_infos == 1:
             np.savez(os.path.join(results_path,
                                   f'{self.save_idx}_info.npz'),

@@ -239,8 +239,7 @@ def mark_invisible_cells(state: GridState, K, poses, cfg: NGPConfig,
     return state._replace(density_grid=grids, count_grid=counts)
 
 
-@partial(jax.jit, static_argnames=("cfg", "warmup", "erode"),
-         donate_argnames=("state",))
+@partial(jax.jit, static_argnames=("cfg", "warmup", "erode"))
 def update_density_grid(params, state: GridState, key, cfg: NGPConfig,
                         density_threshold: float, warmup: bool,
                         decay: float = 0.95, erode: bool = False) -> GridState:

@@ -245,9 +245,12 @@ class NeRFTrainer:
             self._step = jax.jit(
                 partial(train_step_impl, axis_name=None, **kw),
                 donate_argnums=(0, 1))
+            import os
+            donate = (0, 1, 2) if os.environ.get(
+                "ARNERF_DONATE", "0") == "1" else ()
             self._block = jax.jit(
                 partial(train_block_impl, axis_name=None, **kw),
-                static_argnames=("warmup",), donate_argnums=(0, 1, 2))
+                static_argnames=("warmup",), donate_argnums=donate)
         else:
             from ..parallel.dp import make_dp_train_step, make_dp_train_block
             self._step = make_dp_train_step(self.mesh, train_step_impl, kw)

@@ -13,6 +13,7 @@ analytic scene's held-out views.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -45,8 +46,19 @@ def main():
     t0 = time.time()
     scfg = SyntheticConfig(img_wh=(wh, wh), n_train=24, n_test=2,
                            gt_samples=512)
-    train_ds = SyntheticDataset(split="train", config=scfg)
-    test_ds = SyntheticDataset(split="test", config=scfg)
+    cache = f"/tmp/arnerf_bench_data_{wh}.npz"
+    if os.path.exists(cache):
+        blob = np.load(cache)
+        train_ds = SyntheticDataset(split="train", config=scfg,
+                                    read_meta=False)
+        test_ds = SyntheticDataset(split="test", config=scfg,
+                                   read_meta=False)
+        train_ds.rays = blob["train_rays"]
+        test_ds.rays = blob["test_rays"]
+    else:
+        train_ds = SyntheticDataset(split="train", config=scfg)
+        test_ds = SyntheticDataset(split="test", config=scfg)
+        np.savez(cache, train_rays=train_ds.rays, test_rays=test_ds.rays)
     data_s = time.time() - t0
     print(f"bench: data ready in {data_s:.1f}s", file=sys.stderr, flush=True)
 

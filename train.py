@@ -89,8 +89,15 @@ def main():
             hparams.weight_path, params_template=trainer.params)
 
     if not hparams.val_only:
+        from arnerf_tpu.utils.profiling import MetricsLogger
+        logger = MetricsLogger(f'logs/{hparams.dataset_name}/'
+                               f'{hparams.exp_name}')
+        log_cb = (lambda step, m: logger.log(step, m)
+                  if step % 100 < tc.update_interval else None)
         remaining = tc.total_steps - trainer.step
-        trainer.fit(n_steps=max(remaining, 0), log_every=1000)
+        trainer.fit(n_steps=max(remaining, 0), log_every=1000,
+                    callback=log_cb)
+        logger.close()
         os.makedirs(ckpt_dir, exist_ok=True)
         full_path = f'{ckpt_dir}/epoch={hparams.num_epochs - 1}.npz'
         trainer.save(full_path)
