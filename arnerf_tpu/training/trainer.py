@@ -47,6 +47,10 @@ class TrainConfig:
     optimize_ext: bool = False
     ray_sampling_strategy: str = "all_images"
     use_exposure: bool = False
+    # True fuses [grid update + steps] into one program; False issues the
+    # grid update and the scanned steps as two programs (2 dispatches per
+    # block — workaround for a fused-program fault seen on the axon runtime)
+    fuse_grid_update: bool = False
     erode: bool = False                  # reference: colmap datasets only
     unit_exposure_rgb: float = 0.5       # HDR-NeRF anchor (colmap.py:94,106)
     loss: NeRFLossConfig = field(default_factory=NeRFLossConfig)
@@ -169,6 +173,23 @@ def train_step_impl(params, opt_state, grid_state, images, poses, directions,
     return params, opt_state, metrics
 
 
+def scan_steps_impl(params, opt_state, grid_state, images, poses,
+                    directions, keys, *, cfg: NGPConfig, tc: TrainConfig,
+                    tx, exp_step_factor: float,
+                    axis_name: Optional[str] = None):
+    """`len(keys)` training steps as one compiled scan (no grid update)."""
+    def body(carry, k):
+        p, o = carry
+        p, o, metrics = train_step_impl(
+            p, o, grid_state, images, poses, directions, k, 0,
+            cfg=cfg, tc=tc, tx=tx, exp_step_factor=exp_step_factor,
+            axis_name=axis_name)
+        return (p, o), metrics
+
+    (params, opt_state), ms = jax.lax.scan(body, (params, opt_state), keys)
+    return params, opt_state, jax.tree.map(lambda x: x[-1], ms)
+
+
 def train_block_impl(params, opt_state, grid_state, images, poses,
                      directions, key, *, cfg: NGPConfig, tc: TrainConfig,
                      tx, exp_step_factor: float, warmup: bool,
@@ -251,6 +272,9 @@ class NeRFTrainer:
             self._block = jax.jit(
                 partial(train_block_impl, axis_name=None, **kw),
                 static_argnames=("warmup",), donate_argnums=donate)
+            self._scan_steps = jax.jit(
+                partial(scan_steps_impl, axis_name=None, **kw),
+                donate_argnums=(0, 1))
         else:
             from ..parallel.dp import make_dp_train_step, make_dp_train_block
             self._step = make_dp_train_step(self.mesh, train_step_impl, kw)
@@ -290,17 +314,26 @@ class NeRFTrainer:
         return metrics
 
     def train_block(self):
-        """Fused [grid update + update_interval steps]; requires self.step
-        to be block-aligned."""
+        """[grid update + update_interval steps]; requires self.step to be
+        block-aligned. Fused into one program when tc.fuse_grid_update,
+        otherwise two dispatches (grid update, scanned steps)."""
         assert self.step % self.tc.update_interval == 0
         self.key, k = jax.random.split(self.key)
-        if self.mesh is not None:
-            n = len(self.mesh.devices.flatten())
-            k = jax.random.split(k, n)
-        self.params, self.opt_state, self.grid_state, metrics = self._block(
-            self.params, self.opt_state, self.grid_state, self.images,
-            self.poses, self.directions, k,
-            warmup=self.step < self.tc.warmup_steps)
+        if self.tc.fuse_grid_update or self.mesh is not None:
+            if self.mesh is not None:
+                n = len(self.mesh.devices.flatten())
+                k = jax.random.split(k, n)
+            (self.params, self.opt_state, self.grid_state,
+             metrics) = self._block(
+                self.params, self.opt_state, self.grid_state, self.images,
+                self.poses, self.directions, k,
+                warmup=self.step < self.tc.warmup_steps)
+        else:
+            self.maybe_update_grid()
+            keys = jax.random.split(k, self.tc.update_interval)
+            self.params, self.opt_state, metrics = self._scan_steps(
+                self.params, self.opt_state, self.grid_state, self.images,
+                self.poses, self.directions, keys)
         self.step += self.tc.update_interval
         return metrics
 

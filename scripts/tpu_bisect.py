@@ -77,12 +77,33 @@ def main():
         print(f"D{i}: scan({n_steps}) ok loss={float(ms['loss'][-1]):.4f}",
               flush=True)
 
-    # D) the full fused block
+    # D) scan(16) without grid update
+    for i in range(2):
+        keys = jax.random.split(jax.random.PRNGKey(200 + i), 16)
+        tr.params, tr.opt_state, ms = jf(tr.params, tr.opt_state,
+                                         tr.grid_state, keys)
+        sync(ms["loss"])
+        print(f"D16_{i}: scan(16) ok loss={float(ms['loss'][-1]):.4f}",
+              flush=True)
+
+    # E) fused block with a 2-step interval
+    from dataclasses import replace as dreplace
+    tr.tc = dreplace(tc, update_interval=2)
+    tr._build_steps()
+    tr.step = 0
+    for i in range(3):
+        tr.train_block()
+        sync(tr.params["hash_table"])
+        print(f"E2_{i}: block(2) ok", flush=True)
+
+    # F) the full fused block (interval 16)
+    tr.tc = tc
+    tr._build_steps()
     tr.step = 0  # re-align to block cadence
     for i in range(3):
         tr.train_block()
         sync(tr.params["hash_table"])
-        print(f"E{i}: block ok", flush=True)
+        print(f"F{i}: block(16) ok", flush=True)
     print("ALL OK", flush=True)
 
 
