@@ -27,13 +27,15 @@ def mlp_init(key, in_dim: int, hidden: int, out_dim: int, n_hidden: int):
     return layers
 
 
-def mlp_apply(layers, x, out_activation=None):
-    """ReLU between layers; optional output activation ('sigmoid' or None)."""
-    h = x
+def mlp_apply(layers, x, out_activation=None, dtype=jnp.float32):
+    """ReLU between layers; optional output activation ('sigmoid' or None).
+    `dtype` is the matmul compute type (bf16 for MXU speed); accumulation is
+    always fp32 via preferred_element_type and the result is cast back."""
+    h = x.astype(dtype)
     for i, w in enumerate(layers):
-        h = jnp.dot(h, w, preferred_element_type=jnp.float32)
+        h = jnp.dot(h, w.astype(dtype), preferred_element_type=jnp.float32)
         if i < len(layers) - 1:
-            h = jax.nn.relu(h)
+            h = jax.nn.relu(h).astype(dtype)
     if out_activation == "sigmoid":
         h = jax.nn.sigmoid(h)
-    return h
+    return h.astype(jnp.float32)

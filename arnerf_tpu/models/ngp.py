@@ -49,6 +49,15 @@ class NGPConfig:
     sigma_hidden: int = 64
     sigma_out: int = 16
     rgb_hidden: int = 64
+    # 'bfloat16' halves hash-table gather bandwidth and runs the MLPs on the
+    # MXU in bf16 (fp32 accumulation); parameters stay fp32 for Adam
+    compute_dtype: str = "float32"
+
+    @property
+    def cdtype(self):
+        import jax.numpy as _jnp
+        return _jnp.bfloat16 if self.compute_dtype == "bfloat16" \
+            else _jnp.float32
 
     @property
     def cascades(self) -> int:
@@ -93,9 +102,10 @@ def ngp_density(params, x, cfg: NGPConfig, return_feat: bool = False):
     reference: models/networks.py:95-108.
     """
     xn = (x + cfg.scale) / (2 * cfg.scale)
-    feats = hashgrid_encode(params["hash_table"], xn, cfg.hash_cfg)
-    h = mlp_apply(params["sigma_mlp"], feats)
-    sigmas = trunc_exp(h[:, 0])
+    table = params["hash_table"].astype(cfg.cdtype)
+    feats = hashgrid_encode(table, xn, cfg.hash_cfg)
+    h = mlp_apply(params["sigma_mlp"], feats, dtype=cfg.cdtype)
+    sigmas = trunc_exp(h[:, 0].astype(jnp.float32))
     if return_feat:
         return sigmas, h
     return sigmas
@@ -122,9 +132,11 @@ def ngp_forward(params, x, d, cfg: NGPConfig, exposure=None,
     sigmas, h = ngp_density(params, x, cfg, return_feat=True)
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True).clip(1e-12)
     d_enc = sh_encode(d)
-    rgb_in = jnp.concatenate([d_enc, h], axis=1)
+    rgb_in = jnp.concatenate([d_enc.astype(cfg.cdtype),
+                              h.astype(cfg.cdtype)], axis=1)
     act = "sigmoid" if cfg.rgb_act == "Sigmoid" else None
-    rgbs = mlp_apply(params["rgb_mlp"], rgb_in, out_activation=act)
+    rgbs = mlp_apply(params["rgb_mlp"], rgb_in, out_activation=act,
+                     dtype=cfg.cdtype)
 
     if cfg.use_raw_hdr:
         # raw-HDR EXR training: leaky relu in training, relu for final output

@@ -126,3 +126,24 @@ def test_render_test_matches_render_train_on_solid_scene():
     assert np.allclose(np.asarray(te["opacity"]), np.asarray(tr["opacity"]),
                        atol=0.05)
     assert np.allclose(np.asarray(te["rgb"]), raw_train_rgb, atol=0.05)
+
+
+def test_bf16_compute_path_close_to_fp32():
+    cfg32 = CFG
+    cfg16 = NGPConfig(scale=0.5, grid_size=32, n_levels=4,
+                      log2_hashmap_size=12, base_resolution=4,
+                      compute_dtype="bfloat16")
+    params = ngp_init(jax.random.PRNGKey(0), cfg32)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (128, 3),
+                           minval=-0.4, maxval=0.4)
+    d = jax.random.normal(jax.random.PRNGKey(2), (128, 3))
+    s32, rgb32 = ngp_forward(params, x, d, cfg32)
+    s16, rgb16 = ngp_forward(params, x, d, cfg16)
+    assert s16.dtype == jnp.float32 and rgb16.dtype == jnp.float32
+    # raw features are ~1e-4 scale; sigma = exp(~0) so tolerances are loose
+    assert np.allclose(np.asarray(rgb16), np.asarray(rgb32), atol=0.02)
+    assert np.allclose(np.asarray(s16), np.asarray(s32), rtol=0.05)
+    # gradients still flow in bf16 mode
+    g = jax.grad(lambda p: jnp.sum(ngp_forward(p, x, d, cfg16)[1]))(params)
+    assert g["hash_table"].dtype == jnp.float32
+    assert float(jnp.sum(jnp.abs(g["hash_table"]))) > 0
