@@ -114,12 +114,14 @@ def main():
     from arnerf_tpu.rendering import render_test
     print("bench: compiling render...", file=sys.stderr, flush=True)
     render_test(trainer.model_params, trainer.grid_state, rays_o, rays_d,
-                cfg, T_threshold=1e-2, max_samples=128)  # compile (GUI spec)
+                cfg, T_threshold=1e-2, max_samples=128,
+                fast=True)  # compile (GUI spec)
     t0 = time.time()
     n_frames = 5
     for _ in range(n_frames):
         out = render_test(trainer.model_params, trainer.grid_state, rays_o,
-                          rays_d, cfg, T_threshold=1e-2, max_samples=128)
+                          rays_d, cfg, T_threshold=1e-2, max_samples=128,
+                          fast=True)
         jax.block_until_ready(out["rgb"])
     fps = n_frames / (time.time() - t0)
 

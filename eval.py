@@ -61,7 +61,7 @@ def main():
         t0 = time.time()
         out = render_test(params, grid_state, rays_o, rays_d, cfg,
                           exp_step_factor=exp_step_factor,
-                          T_threshold=1e-2, max_samples=96)
+                          T_threshold=1e-2, max_samples=96, fast=True)
         jax.block_until_ready(out['rgb'])
         np.asarray(out['rgb'][:1])
         times.append(time.time() - t0)

@@ -88,7 +88,7 @@ class NGPGUI:
         out = render_test(
             self.params, self.grid_state, rays_o, rays_d, self.cfg,
             exp_step_factor=exp_step_factor, T_threshold=1e-2,
-            max_samples=96, samples_per_round=32,
+            max_samples=96, samples_per_round=32, fast=True,
             output_radiance=self.hparams.use_EXR)
         rgb = np.asarray(out['rgb']).reshape(self.H, self.W, 3)
         depth = np.asarray(out['depth']).reshape(self.H, self.W)

@@ -147,3 +147,22 @@ def test_bf16_compute_path_close_to_fp32():
     g = jax.grad(lambda p: jnp.sum(ngp_forward(p, x, d, cfg16)[1]))(params)
     assert g["hash_table"].dtype == jnp.float32
     assert float(jnp.sum(jnp.abs(g["hash_table"]))) > 0
+
+
+def test_render_test_fast_matches_slow():
+    from arnerf_tpu.rendering import render_test_fast
+    params = ngp_init(jax.random.PRNGKey(0), CFG)
+    state = grid_state_init(CFG)
+    state = update_density_grid(params, state, jax.random.PRNGKey(1), CFG,
+                                density_threshold=0.01, warmup=True)
+    rays_o, rays_d = _rays_looking_at_origin(64)
+    kw = dict(n_candidates=128, samples_per_round=16, max_samples=256)
+    slow = render_test(params, state, rays_o, rays_d, CFG, chunk=64, **kw)
+    fast = render_test(params, state, rays_o, rays_d, CFG, chunk=64,
+                       fast=True, min_bucket=16, **kw)
+    np.testing.assert_allclose(np.asarray(fast["opacity"]),
+                               np.asarray(slow["opacity"]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(fast["rgb"]),
+                               np.asarray(slow["rgb"]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(fast["depth"]),
+                               np.asarray(slow["depth"]), atol=1e-4)
