@@ -249,6 +249,16 @@ class NGPInsertor:
                    for pt in spts[idx]]
         np.save(res_path, np.stack(envmaps, 0))
 
+    def load_or_train_envmaps(self, epochs=200):
+        """Amortized SG fitter over the scene's env maps
+        (reference main.py:215-218; disabled by default upstream too)."""
+        self.generate_envmaps()
+        envmaps = np.load(os.path.join(self.gen_path, 'envmaps.npy'))
+        from .envfit import EnvTrainer
+        self.env_model = EnvTrainer(envmaps)
+        self.env_model.train(epochs)
+        return self.env_model
+
     def train_global_sh_light(self):
         """reference main.py:251-302."""
         self.generate_surface(save=True)

@@ -85,11 +85,14 @@ class NGPGUI:
                                   jnp.asarray(cam.pose[:3], jnp.float32))
         exp_step_factor = 1 / 256 if self.hparams.dataset_name in (
             'colmap', 'nerfpp') else 0.0
+        kwargs = {}
+        if self.cfg.rgb_act == 'None' and not self.cfg.use_raw_hdr:
+            kwargs['exposure'] = jnp.full((1, 1), self.exposure)
         out = render_test(
             self.params, self.grid_state, rays_o, rays_d, self.cfg,
             exp_step_factor=exp_step_factor, T_threshold=1e-2,
             max_samples=96, samples_per_round=32, fast=True,
-            output_radiance=self.hparams.use_EXR)
+            output_radiance=self.hparams.use_EXR, **kwargs)
         rgb = np.asarray(out['rgb']).reshape(self.H, self.W, 3)
         depth = np.asarray(out['depth']).reshape(self.H, self.W)
         self.dt = time.time() - t
