@@ -68,7 +68,8 @@ def load_ckpt(path, *, params_template, grid_template=None,
     blobs = dict(np.load(path, allow_pickle=False))
     params = _unflatten_into(params_template, blobs, "params/")
     grid_state = grid_template
-    if grid_template is not None and "grid/density_grid" in blobs:
+    if grid_template is not None and any(k.startswith("grid/")
+                                         for k in blobs):
         gd = _unflatten_into(grid_template._asdict(), blobs, "grid/")
         grid_state = type(grid_template)(**gd)
     opt_state = opt_state_template
@@ -82,8 +83,13 @@ def load_ckpt(path, *, params_template, grid_template=None,
 
 
 def slim_ckpt(path_in, path_out):
-    """Strip a checkpoint to model weights only (reference utils.py:29-39)."""
+    """Strip a checkpoint for distribution: model weights + the occupancy
+    decision (the reference's slim ckpt drops density_grid/grid_coords but
+    KEEPS the density bitfield the renderers march against,
+    utils.py:29-39)."""
     blobs = dict(np.load(path_in, allow_pickle=False))
-    keep = {k: v for k, v in blobs.items() if k.startswith("params/")}
+    keep = {k: v for k, v in blobs.items()
+            if k.startswith("params/")
+            or k in ("grid/occ_flat", "grid/bitfield")}
     keep["step"] = blobs.get("step", np.asarray(0))
     np.savez(path_out, **keep)

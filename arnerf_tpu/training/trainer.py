@@ -55,7 +55,7 @@ class TrainConfig:
     unit_exposure_rgb: float = 0.5       # HDR-NeRF anchor (colmap.py:94,106)
     loss: NeRFLossConfig = field(default_factory=NeRFLossConfig)
     # TPU sample-buffer budget: avg samples/ray the compact buffer can hold
-    samples_per_ray_budget: int = 48
+    samples_per_ray_budget: int = 32
     s_cap: int = MAX_SAMPLES
     max_samples: int = MAX_SAMPLES
 

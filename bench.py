@@ -37,6 +37,19 @@ def main():
     from arnerf_tpu.datasets.synthetic import SyntheticDataset, SyntheticConfig
 
     dev = jax.devices()[0]
+
+    def device_stream_gbps():
+        """In-window device calibration: the axon pool is time-shared, so
+        absolute throughput swings run-to-run; this anchors the numbers."""
+        x = jax.random.normal(jax.random.PRNGKey(0), (1 << 24, 2))
+        f = jax.jit(lambda s: s * 2.0 + 1.0)
+        np.asarray(f(x)).ravel()[:1]
+        t0 = time.time()
+        for _ in range(4):
+            out = f(x)
+        np.asarray(out).ravel()[:1]
+        dt = (time.time() - t0) / 4
+        return (x.size * 4 * 2) / dt / 1e9
     wh = int(sys.argv[sys.argv.index("--wh") + 1]) if "--wh" in sys.argv else 800
     steps = int(sys.argv[sys.argv.index("--steps") + 1]) \
         if "--steps" in sys.argv else 512
@@ -65,7 +78,6 @@ def main():
     cfg = NGPConfig(scale=0.5)  # flagship: L=16, T=2^19, 128^3 grid
     tc = TrainConfig(batch_size=8192, lr=1e-2, num_epochs=30,
                      steps_per_epoch=1000, warmup_steps=256,
-                     samples_per_ray_budget=48,
                      loss=NeRFLossConfig(grid_scale=0.5))
     trainer = NeRFTrainer(cfg, tc, train_ds, test_ds,
                           key=jax.random.PRNGKey(0))
@@ -138,6 +150,7 @@ def main():
             "val_psnr_after_bench_steps": round(val["psnr"], 2),
             "train_psnr": round(float(m.get("psnr", 0.0)), 2),
             "data_gen_s": round(data_s, 1),
+            "device_stream_GBps": round(device_stream_gbps(), 1),
             "device": str(dev),
             "steps_timed": steps,
         },
