@@ -337,20 +337,72 @@ class NeRFTrainer:
         self.step += self.tc.update_interval
         return metrics
 
+    # -- failure detection / recovery ---------------------------------------
+    # SURVEY.md §5: the reference has no fault handling (a crash loses an
+    # epoch). Here, periodic host snapshots + automatic device-recovery
+    # restore training after a TPU worker crash (which the time-shared axon
+    # pool does produce in practice).
+
+    def _host_snapshot(self):
+        self._snap = jax.tree.map(np.asarray,
+                                  (self.params, self.opt_state,
+                                   self.grid_state))
+        self._snap_step = self.step
+        self._snap_key = np.asarray(self.key)
+
+    def _restore_snapshot(self):
+        params, opt_state, grid_state = jax.tree.map(jnp.asarray, self._snap)
+        self.params, self.opt_state, self.grid_state = \
+            params, opt_state, grid_state
+        self.step = self._snap_step
+        self.key = jnp.asarray(self._snap_key)
+
+    def _wait_for_device(self, max_wait_s=3600, poll_s=60):
+        t0 = time.time()
+        while time.time() - t0 < max_wait_s:
+            try:
+                jax.block_until_ready(jnp.ones((8, 8)).sum())
+                return True
+            except Exception:
+                time.sleep(poll_s)
+        return False
+
     def fit(self, n_steps=None, log_every=1000, callback=None,
-            use_blocks=True):
+            use_blocks=True, snapshot_every_blocks=25, max_recoveries=8):
         self.on_train_start()
         n = n_steps if n_steps is not None else self.tc.total_steps
         t0 = time.time()
         start = self.step
         last = {}
+        blocks_since_snap = 0
+        recoveries = 0
+        self._host_snapshot()
         while self.step - start < n:
             remaining = n - (self.step - start)
-            if use_blocks and self.step % self.tc.update_interval == 0 \
-                    and remaining >= self.tc.update_interval:
-                last = self.train_block()
-            else:
-                last = self.train_step()
+            try:
+                if use_blocks and self.step % self.tc.update_interval == 0 \
+                        and remaining >= self.tc.update_interval:
+                    last = self.train_block()
+                    blocks_since_snap += 1
+                    if blocks_since_snap >= snapshot_every_blocks:
+                        jax.block_until_ready(last["loss"])
+                        self._host_snapshot()
+                        blocks_since_snap = 0
+                else:
+                    last = self.train_step()
+            except Exception as e:  # TPU worker crash / infra failure
+                recoveries += 1
+                if recoveries > max_recoveries:
+                    raise
+                print(f"device failure at step {self.step} "
+                      f"({type(e).__name__}); waiting for recovery "
+                      f"({recoveries}/{max_recoveries})...", flush=True)
+                if not self._wait_for_device():
+                    raise
+                self._restore_snapshot()
+                print(f"recovered; resuming from step {self.step}",
+                      flush=True)
+                continue
             if callback is not None:
                 callback(self.step, last)
             if log_every and self.step % log_every < (

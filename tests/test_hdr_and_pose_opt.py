@@ -83,3 +83,34 @@ def test_pose_refinement_trains():
     # pose deltas receive (tiny) updates through their own optimizer
     assert not np.array_equal(d0, d1)
     assert np.abs(d1).max() < 1e-3  # lr 1e-6 keeps them small
+
+
+def test_fit_recovers_from_device_failure(monkeypatch):
+    """Inject a failure into one block; fit must restore the snapshot and
+    finish all requested steps."""
+    scfg = SyntheticConfig(img_wh=(16, 16), n_train=3, n_test=1,
+                           gt_samples=32)
+    ds = SyntheticDataset(split="train", config=scfg)
+    cfg = NGPConfig(scale=0.5, grid_size=32, n_levels=4,
+                    log2_hashmap_size=12, base_resolution=4)
+    tc = NeRFTrainer.__init__.__defaults__  # noqa: F841 (readability)
+    from arnerf_tpu.training import TrainConfig
+    tcfg = TrainConfig(batch_size=64, num_epochs=1, steps_per_epoch=64,
+                       warmup_steps=16, samples_per_ray_budget=16,
+                       max_samples=128, s_cap=128,
+                       loss=NeRFLossConfig(grid_scale=0.5))
+    tr = NeRFTrainer(cfg, tcfg, ds, key=jax.random.PRNGKey(0))
+    orig = NeRFTrainer.train_block
+    calls = {"n": 0}
+
+    def flaky(self):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected device crash")
+        return orig(self)
+
+    monkeypatch.setattr(NeRFTrainer, "train_block", flaky)
+    m = tr.fit(n_steps=48, log_every=0, snapshot_every_blocks=1)
+    assert tr.step == 48
+    assert np.isfinite(float(m["loss"]))
+    assert calls["n"] == 4  # 3 successful blocks + 1 injected failure
