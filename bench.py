@@ -50,9 +50,9 @@ def main():
         np.asarray(out).ravel()[:1]
         dt = (time.time() - t0) / 4
         return (x.size * 4 * 2) / dt / 1e9
-    wh = int(sys.argv[sys.argv.index("--wh") + 1]) if "--wh" in sys.argv else 800
+    wh = int(sys.argv[sys.argv.index("--wh") + 1]) if "--wh" in sys.argv else 256
     steps = int(sys.argv[sys.argv.index("--steps") + 1]) \
-        if "--steps" in sys.argv else 512
+        if "--steps" in sys.argv else 160
 
     print(f"bench: generating data ({wh}x{wh})...", file=sys.stderr,
           flush=True)
@@ -111,25 +111,29 @@ def main():
         m = trainer.train_block()
     jax.block_until_ready(trainer.params["hash_table"])
     t0 = time.time()
-    for _ in range(16):
+    for _ in range(8):
         m = trainer.train_block()
     jax.block_until_ready(trainer.params["hash_table"])
-    steady_steps_per_s = 16 * bs / (time.time() - t0)
+    steady_steps_per_s = 8 * bs / (time.time() - t0)
     print(f"bench: steady {steady_steps_per_s:.1f} steps/s", file=sys.stderr,
           flush=True)
 
-    # interactive render FPS at wh x wh
-    from arnerf_tpu.datasets.ray_utils import get_rays
+    # interactive render FPS at the reference's 800x800 spec regardless of
+    # the training resolution (README.md:121 measures FPS at 800x800)
+    from arnerf_tpu.datasets.ray_utils import get_rays, get_ray_directions
     import jax.numpy as jnp
+    f800 = 0.5 * 800 / np.tan(0.5 * np.deg2rad(scfg.fov_deg))
+    K800 = np.array([[f800, 0, 400], [0, f800, 400], [0, 0, 1]], np.float32)
+    dirs800 = jnp.asarray(get_ray_directions(800, 800, K800))
     pose = jnp.asarray(test_ds.poses[0])
-    rays_o, rays_d = get_rays(jnp.asarray(test_ds.directions), pose)
+    rays_o, rays_d = get_rays(dirs800, pose)
     from arnerf_tpu.rendering import render_test
     print("bench: compiling render...", file=sys.stderr, flush=True)
     render_test(trainer.model_params, trainer.grid_state, rays_o, rays_d,
                 cfg, T_threshold=1e-2, max_samples=128,
                 fast=True)  # compile (GUI spec)
     t0 = time.time()
-    n_frames = 5
+    n_frames = 3
     for _ in range(n_frames):
         out = render_test(trainer.model_params, trainer.grid_state, rays_o,
                           rays_d, cfg, T_threshold=1e-2, max_samples=128,
