@@ -35,6 +35,10 @@ import jax.numpy as jnp
 from .stepping import calc_dt, lattice_t, mip_from_pos, mip_from_dt
 
 
+def pl_cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
 class MarchResults(NamedTuple):
     xyzs: jnp.ndarray       # (M, 3) sample positions (0 where invalid)
     dirs: jnp.ndarray       # (M, 3) ray directions per sample
@@ -89,17 +93,47 @@ def occupancy_lookup(occ_flat, pos, dt, *, scale: float, cascades: int,
     return occ_flat[flat] > 0
 
 
+COARSE_FACTOR = 8   # coarse supercell = 8^3 fine occupancy cells
+
+
+def build_coarse_occupancy(occ_flat, cascades: int, grid_size: int):
+    """Dilated max-pool of the occupancy grid: (C*G^3,) -> (C*(G/8)^3,).
+
+    Supercell j is 1 iff ANY fine cell within one supercell of j is occupied
+    (5^3 max filter after pooling), so a lattice segment classified by its
+    start position can never miss occupancy that its fine steps would hit
+    (segment span < 2 supercells for the clamped dt range)."""
+    G = grid_size
+    CG = G // COARSE_FACTOR
+    occ = occ_flat.reshape(cascades, CG, COARSE_FACTOR, CG, COARSE_FACTOR,
+                           CG, COARSE_FACTOR)
+    coarse = occ.max(axis=(2, 4, 6)).astype(jnp.float32)       # (C, CG^3)
+    coarse = jax.lax.reduce_window(
+        coarse, -jnp.inf, jax.lax.max, (1, 5, 5, 5), (1, 1, 1, 1), "SAME")
+    return (coarse > 0).astype(jnp.uint8).reshape(-1)
+
+
 @partial(jax.jit, static_argnames=(
     "scale", "cascades", "exp_step_factor", "grid_size", "max_samples",
-    "n_candidates", "m_cap", "s_cap"))
+    "n_candidates", "m_cap", "s_cap", "seg_cap"))
 def march_rays_train(rays_o, rays_d, hits_t, occ_flat, noise, *,
                      scale: float, cascades: int, exp_step_factor: float,
                      grid_size: int, max_samples: int, n_candidates: int,
-                     m_cap: int, s_cap: int) -> MarchResults:
+                     m_cap: int, s_cap: int, occ_coarse=None,
+                     seg_cap: int = 64) -> MarchResults:
     """March N rays into a compact (M=m_cap) sample buffer.
 
     rays_o, rays_d: (N, 3); hits_t: (N, 2) from ray_aabb_intersect_single
     occ_flat: (cascades*G^3,) uint8 0/1 occupancy; noise: (N,) U[0,1)
+
+    When `occ_coarse` (from build_coarse_occupancy) is given and the scene
+    is single-cascade, a coarse pre-pass tests one candidate per 8-step
+    segment against the dilated supercell grid and only the occupied
+    segments' fine candidates are generated — cutting candidate traffic
+    several-fold once the grid is carved. Results are EXACTLY equal to the
+    single-level path as long as a ray intersects at most `seg_cap`
+    occupied segments (the dilation makes the coarse test a strict
+    superset).
     """
     N = rays_o.shape[0]
     K = n_candidates
@@ -118,17 +152,55 @@ def march_rays_train(rays_o, rays_d, hits_t, occ_flat, noise, *,
     # raymarching.cu:195-198)
     t1 = jnp.where(ray_ok, t1 + cd(t1) * noise, t1)
 
+    two_level = occ_coarse is not None and cascades == 1
+
+    if two_level:
+        F = COARSE_FACTOR
+        CG = grid_size // F
+        K1 = pl_cdiv(K, F)
+        jj = (jnp.arange(K1, dtype=jnp.int32) * F)[None, :]
+        t_seg = lt(t1[:, None], jj)                            # (N, K1)
+        pos_s = rays_o[:, None, :] + t_seg[..., None] * rays_d[:, None, :]
+        # single cascade: mip == 0, bound == min(0.5, scale)
+        mb = min(0.5, scale)
+        nc = jnp.clip(0.5 * (pos_s / mb + 1.0) * CG, 0.0, CG - 1.0)
+        nc = nc.astype(jnp.int32)
+        cflat = (nc[..., 0] * CG + nc[..., 1]) * CG + nc[..., 2]
+        seg_occ = occ_coarse[cflat] > 0
+        seg_elig = seg_occ & (t_seg < t2[:, None]) & ray_ok[:, None]
+        c1 = jnp.cumsum(seg_elig.astype(jnp.int32), axis=1)
+        nseg = jnp.minimum(c1[:, -1], seg_cap)
+        srows = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[:, None],
+                                 (N, seg_cap))
+        squer = jnp.broadcast_to(
+            jnp.arange(1, seg_cap + 1, dtype=jnp.int32)[None, :],
+            (N, seg_cap))
+        sel_j = _lower_bound_rows(c1.reshape(-1), srows.reshape(-1),
+                                  squer.reshape(-1), K1).reshape(N, seg_cap)
+        slot_ok = jnp.arange(seg_cap, dtype=jnp.int32)[None, :] \
+            < nseg[:, None]
+        # ks: global lattice step of every fine candidate (N, seg_cap*F)
+        ks = (jnp.minimum(sel_j, K1 - 1) * F)[:, :, None] \
+            + jnp.arange(F, dtype=jnp.int32)[None, None, :]
+        ks = ks.reshape(N, seg_cap * F)
+        slot_mask = jnp.repeat(slot_ok, F, axis=1)
+        Kf = seg_cap * F
+    else:
+        ks = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :],
+                              (N, K))
+        slot_mask = jnp.ones((N, K), bool)
+        Kf = K
+
     # ---- candidate lattice + occupancy test -------------------------------
-    k = jnp.arange(K, dtype=jnp.int32)[None, :]
-    t_cand = lt(t1[:, None], k)                                # (N, K)
+    t_cand = lt(t1[:, None], ks)                               # (N, Kf)
     dt_cand = cd(t_cand)
     pos = rays_o[:, None, :] + t_cand[..., None] * rays_d[:, None, :]
     occ = occupancy_lookup(occ_flat, pos, dt_cand, scale=scale,
                            cascades=cascades, grid_size=grid_size)
-    elig = occ & (t_cand < t2[:, None]) & ray_ok[:, None]
+    elig = occ & (t_cand < t2[:, None]) & ray_ok[:, None] & slot_mask
 
     # ---- order-preserving compaction --------------------------------------
-    c = jnp.cumsum(elig.astype(jnp.int32), axis=1)             # (N, K)
+    c = jnp.cumsum(elig.astype(jnp.int32), axis=1)             # (N, Kf)
     demand = jnp.minimum(c[:, -1], s_cap)                      # (N,)
     total_demand = jnp.sum(demand)
     ratio = jnp.minimum(1.0, m_cap / jnp.maximum(total_demand, 1).astype(jnp.float32))
@@ -144,8 +216,9 @@ def march_rays_train(rays_o, rays_d, hits_t, occ_flat, noise, *,
     # occupied-ordinal along the ray, strided when over budget
     j = jnp.floor(s.astype(jnp.float32) * stride[r]).astype(jnp.int32)
     j = jnp.minimum(j, jnp.maximum(demand[r] - 1, 0))
-    k_sel = _lower_bound_rows(c.reshape(-1), r, j + 1, K)      # (M,)
-    k_sel = jnp.minimum(k_sel, K - 1)
+    q_sel = _lower_bound_rows(c.reshape(-1), r, j + 1, Kf)     # (M,)
+    q_sel = jnp.minimum(q_sel, Kf - 1)
+    k_sel = ks.reshape(-1)[r * Kf + q_sel]                     # global step
 
     # ---- reconstruct sample attributes from the closed form ----------------
     t_m = lt(t1[r], k_sel)

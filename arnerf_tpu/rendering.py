@@ -49,25 +49,33 @@ def default_candidates(cfg: NGPConfig, exp_step_factor: float,
 
 @partial(jax.jit, static_argnames=(
     "cfg", "exp_step_factor", "T_threshold", "random_bg", "m_cap", "s_cap",
-    "max_samples"))
+    "max_samples", "seg_cap"))
 def render_train(params, grid_state, rays_o, rays_d, key, cfg: NGPConfig, *,
                  exp_step_factor: float = 0.0, T_threshold: float = 1e-4,
                  random_bg: bool = False, m_cap: int = 256 * 1024,
                  s_cap: int = MAX_SAMPLES, max_samples: int = MAX_SAMPLES,
-                 exposure=None, mesh_depth_map=None):
+                 seg_cap: int = 64, exposure=None, mesh_depth_map=None):
     """Differentiable training-path render. Returns the reference's results
     dict (rendering.py:255-298): rgb, opacity, depth, ws, deltas, ts +
     segment layout + sample counters."""
     k_noise, k_bg = jax.random.split(key)
     hits = scene_hits(rays_o, rays_d, cfg, mesh_depth_map)
     noise = jax.random.uniform(k_noise, (rays_o.shape[0],))
+    occ_coarse = None
+    if seg_cap > 0 and cfg.cascades == 1:
+        # coarse supercell pre-pass (derived on the fly: cheap, and keeps
+        # GridState/checkpoints free of derived fields)
+        from .ops.marching import build_coarse_occupancy
+        occ_coarse = build_coarse_occupancy(grid_state.occ_flat,
+                                            cfg.cascades, cfg.grid_size)
     mr = march_rays_train(
         rays_o, rays_d, hits, grid_state.occ_flat, noise,
         scale=cfg.scale, cascades=cfg.cascades,
         exp_step_factor=exp_step_factor, grid_size=cfg.grid_size,
         max_samples=max_samples,
         n_candidates=default_candidates(cfg, exp_step_factor, max_samples),
-        m_cap=m_cap, s_cap=s_cap)
+        m_cap=m_cap, s_cap=s_cap, occ_coarse=occ_coarse,
+        seg_cap=max(seg_cap, 1))
 
     sample_exposure = None
     if exposure is not None:

@@ -125,7 +125,8 @@ def sample_rays(images, poses, directions, key, tc: TrainConfig,
 
 def train_step_impl(params, opt_state, grid_state, images, poses, directions,
                     key, step, *, cfg: NGPConfig, tc: TrainConfig, tx,
-                    exp_step_factor: float, axis_name: Optional[str] = None):
+                    exp_step_factor: float, axis_name: Optional[str] = None,
+                    seg_cap: int = 64):
     """Pure training step; when axis_name is set, gradients/metrics are
     psum-joined across the device mesh (the DDP all-reduce equivalent)."""
     k_sample, k_render = jax.random.split(key)
@@ -142,7 +143,7 @@ def train_step_impl(params, opt_state, grid_state, images, poses, directions,
             grid_state, rays_o, rays_d, k_render, cfg,
             exp_step_factor=exp_step_factor, random_bg=tc.random_bg,
             m_cap=m_cap, s_cap=tc.s_cap, max_samples=tc.max_samples,
-            exposure=exposure)
+            seg_cap=seg_cap, exposure=exposure)
         ld = nerf_loss(results, rgb_gt, tc.loss)
         if tc.use_exposure:
             # anchor the tonemappers at unit exposure (reference
@@ -176,14 +177,14 @@ def train_step_impl(params, opt_state, grid_state, images, poses, directions,
 def scan_steps_impl(params, opt_state, grid_state, images, poses,
                     directions, keys, *, cfg: NGPConfig, tc: TrainConfig,
                     tx, exp_step_factor: float,
-                    axis_name: Optional[str] = None):
+                    axis_name: Optional[str] = None, seg_cap: int = 64):
     """`len(keys)` training steps as one compiled scan (no grid update)."""
     def body(carry, k):
         p, o = carry
         p, o, metrics = train_step_impl(
             p, o, grid_state, images, poses, directions, k, 0,
             cfg=cfg, tc=tc, tx=tx, exp_step_factor=exp_step_factor,
-            axis_name=axis_name)
+            axis_name=axis_name, seg_cap=seg_cap)
         return (p, o), metrics
 
     (params, opt_state), ms = jax.lax.scan(body, (params, opt_state), keys)
@@ -217,7 +218,7 @@ def train_block_impl(params, opt_state, grid_state, images, poses,
         p, o, metrics = train_step_impl(
             p, o, grid_state, images, poses, directions, k, 0,
             cfg=cfg, tc=tc, tx=tx, exp_step_factor=exp_step_factor,
-            axis_name=axis_name)
+            axis_name=axis_name, seg_cap=0 if warmup else 64)
         return (p, o), metrics
 
     keys = jax.random.split(k_steps, tc.update_interval)
@@ -274,7 +275,7 @@ class NeRFTrainer:
                 static_argnames=("warmup",), donate_argnums=donate)
             self._scan_steps = jax.jit(
                 partial(scan_steps_impl, axis_name=None, **kw),
-                donate_argnums=(0, 1))
+                static_argnames=("seg_cap",), donate_argnums=(0, 1))
         else:
             from ..parallel.dp import make_dp_train_step, make_dp_train_block
             self._step = make_dp_train_step(self.mesh, train_step_impl, kw)
@@ -331,9 +332,11 @@ class NeRFTrainer:
         else:
             self.maybe_update_grid()
             keys = jax.random.split(k, self.tc.update_interval)
+            warm = self.step < self.tc.warmup_steps
             self.params, self.opt_state, metrics = self._scan_steps(
                 self.params, self.opt_state, self.grid_state, self.images,
-                self.poses, self.directions, keys)
+                self.poses, self.directions, keys,
+                seg_cap=0 if warm else 64)
         self.step += self.tc.update_interval
         return metrics
 

@@ -328,3 +328,42 @@ def test_march_test_incremental_covers_ray():
     assert np.allclose(np.asarray(opacity), np.asarray(out.opacity), atol=2e-3)
     assert np.allclose(np.asarray(rgb), np.asarray(out.rgb), atol=2e-3)
     assert np.allclose(np.asarray(depth), np.asarray(out.depth), atol=5e-3)
+
+
+def test_two_level_marching_matches_single_level():
+    """Coarse-prepass marching must select EXACTLY the same samples as the
+    brute-force single-level path (the dilation guarantees a superset)."""
+    from arnerf_tpu.ops.marching import build_coarse_occupancy
+    rng = np.random.default_rng(11)
+    # sparse random occupancy (~3%) in a 64^3 grid, single cascade
+    G = 64
+    occ = (rng.random((1, G, G, G)) < 0.03).astype(np.uint8)
+    occ_flat = jnp.asarray(occ.reshape(-1))
+    coarse = build_coarse_occupancy(occ_flat, 1, G)
+
+    N = 32
+    rays_o = np.tile([0.0, 0.0, -1.2], (N, 1)).astype(np.float32)
+    tgt = rng.uniform(-0.4, 0.4, (N, 3)).astype(np.float32)
+    d = tgt - rays_o
+    rays_d = (d / np.linalg.norm(d, axis=1, keepdims=True)).astype(np.float32)
+    hits = np.asarray(ray_aabb_intersect_single(
+        jnp.asarray(rays_o), jnp.asarray(rays_d), jnp.zeros(3),
+        jnp.full(3, SCALE)))
+    noise = jnp.asarray(rng.random(N), jnp.float32)
+
+    kw = dict(scale=SCALE, cascades=1, exp_step_factor=0.0, grid_size=G,
+              max_samples=512,
+              n_candidates=num_lattice_steps(0.01, 0.01 + 2 * SQRT3 * SCALE,
+                                             0.0, 512, G, SCALE),
+              m_cap=4096, s_cap=256)
+    a = march_rays_train(jnp.asarray(rays_o), jnp.asarray(rays_d),
+                         jnp.asarray(hits), occ_flat, noise, **kw)
+    b = march_rays_train(jnp.asarray(rays_o), jnp.asarray(rays_d),
+                         jnp.asarray(hits), occ_flat, noise,
+                         occ_coarse=coarse, seg_cap=64, **kw)
+    np.testing.assert_array_equal(np.asarray(a.counts), np.asarray(b.counts))
+    np.testing.assert_allclose(np.asarray(a.ts), np.asarray(b.ts), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.deltas), np.asarray(b.deltas),
+                               atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+    assert int(a.rm_samples) == int(b.rm_samples)
