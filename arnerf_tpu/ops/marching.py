@@ -234,11 +234,11 @@ def march_rays_train(rays_o, rays_d, hits_t, occ_flat, noise, *,
 
 @partial(jax.jit, static_argnames=(
     "scale", "cascades", "exp_step_factor", "grid_size", "max_samples",
-    "n_candidates", "n_samples"))
+    "n_candidates", "n_samples", "seg_cap"))
 def march_rays_test(rays_o, rays_d, t_cur, t2, occ_flat, *,
                     scale: float, cascades: int, exp_step_factor: float,
                     grid_size: int, max_samples: int, n_candidates: int,
-                    n_samples: int):
+                    n_samples: int, occ_coarse=None, seg_cap: int = 32):
     """One incremental marching round for the test-time renderer.
 
     From each ray's current position t_cur, find its next `n_samples`
@@ -246,6 +246,11 @@ def march_rays_test(rays_o, rays_d, t_cur, t2, occ_flat, *,
     per-ray layout). Mirrors `raymarching_test_kernel`
     (reference: models/csrc/raymarching.cu:335-404) with the persistent
     hits_t[r][0] cursor becoming the explicit t_cur carry.
+
+    With `occ_coarse` (single-cascade scenes) a dilated-supercell pre-pass
+    prunes fine candidates to occupied 8-step segments; if a ray's occupied
+    segments exceed seg_cap the cursor only advances to the end of the last
+    selected segment, so no geometry is skipped.
 
     Returns (xyzs (N,S,3), deltas (N,S), ts (N,S), n_eff (N,), t_next (N,)).
     t_next is the lattice position after the last CONSUMED candidate: if a
@@ -259,24 +264,68 @@ def march_rays_test(rays_o, rays_d, t_cur, t2, occ_flat, *,
     lt = partial(lattice_t, exp_step_factor=exp_step_factor,
                  max_samples=max_samples, grid_size=grid_size, scale=scale)
 
-    k = jnp.arange(K, dtype=jnp.int32)[None, :]
-    t_cand = lt(t_cur[:, None], k)                             # (N, K)
+    two_level = occ_coarse is not None and cascades == 1
+
+    if two_level:
+        F = COARSE_FACTOR
+        CG = grid_size // F
+        K1 = pl_cdiv(K, F)
+        jj = (jnp.arange(K1, dtype=jnp.int32) * F)[None, :]
+        t_seg = lt(t_cur[:, None], jj)
+        pos_s = rays_o[:, None, :] + t_seg[..., None] * rays_d[:, None, :]
+        mb = min(0.5, scale)
+        nc = jnp.clip(0.5 * (pos_s / mb + 1.0) * CG, 0.0, CG - 1.0)
+        nc = nc.astype(jnp.int32)
+        cflat = (nc[..., 0] * CG + nc[..., 1]) * CG + nc[..., 2]
+        seg_elig = (occ_coarse[cflat] > 0) & (t_seg < t2[:, None])
+        c1 = jnp.cumsum(seg_elig.astype(jnp.int32), axis=1)
+        nseg_raw = c1[:, -1]
+        nseg = jnp.minimum(nseg_raw, seg_cap)
+        truncated = nseg_raw > seg_cap
+        srows = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[:, None],
+                                 (N, seg_cap))
+        squer = jnp.broadcast_to(
+            jnp.arange(1, seg_cap + 1, dtype=jnp.int32)[None, :],
+            (N, seg_cap))
+        sel_j = _lower_bound_rows(c1.reshape(-1), srows.reshape(-1),
+                                  squer.reshape(-1), K1).reshape(N, seg_cap)
+        sel_j = jnp.minimum(sel_j, K1 - 1)
+        slot_ok = jnp.arange(seg_cap, dtype=jnp.int32)[None, :] \
+            < nseg[:, None]
+        ks = (sel_j * F)[:, :, None] \
+            + jnp.arange(F, dtype=jnp.int32)[None, None, :]
+        ks = ks.reshape(N, seg_cap * F)
+        slot_mask = jnp.repeat(slot_ok, F, axis=1)
+        Kf = seg_cap * F
+        # when truncated, only the candidates up to the last selected
+        # segment's end have been scanned
+        last_sel = jnp.take_along_axis(
+            sel_j, jnp.maximum(nseg[:, None] - 1, 0), axis=1)[:, 0]
+        scan_end_k = jnp.where(truncated, last_sel * F + (F - 1), K - 1)
+    else:
+        ks = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :],
+                              (N, K))
+        slot_mask = jnp.ones((N, K), bool)
+        Kf = K
+        scan_end_k = jnp.full((N,), K - 1, jnp.int32)
+
+    t_cand = lt(t_cur[:, None], ks)                            # (N, Kf)
     dt_cand = cd(t_cand)
     pos = rays_o[:, None, :] + t_cand[..., None] * rays_d[:, None, :]
     occ = occupancy_lookup(occ_flat, pos, dt_cand, scale=scale,
                            cascades=cascades, grid_size=grid_size)
-    in_range = t_cand < t2[:, None]
-    elig = occ & in_range
+    elig = occ & (t_cand < t2[:, None]) & slot_mask
 
-    c = jnp.cumsum(elig.astype(jnp.int32), axis=1)             # (N, K)
+    c = jnp.cumsum(elig.astype(jnp.int32), axis=1)             # (N, Kf)
     n_eff = jnp.minimum(c[:, -1], S)
 
     s = jnp.arange(S, dtype=jnp.int32)[None, :]
     rows = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[:, None], (N, S))
     queries = jnp.broadcast_to(s + 1, (N, S))
-    k_sel = _lower_bound_rows(c.reshape(-1), rows.reshape(-1),
-                              queries.reshape(-1), K)
-    k_sel = jnp.minimum(k_sel.reshape(N, S), K - 1)
+    q_sel = _lower_bound_rows(c.reshape(-1), rows.reshape(-1),
+                              queries.reshape(-1), Kf)
+    q_sel = jnp.minimum(q_sel.reshape(N, S), Kf - 1)
+    k_sel = jnp.take_along_axis(ks, q_sel, axis=1)             # global steps
     vmask = s < n_eff[:, None]                                 # (N, S)
 
     ts = lt(t_cur[:, None], k_sel)
@@ -291,10 +340,12 @@ def march_rays_test(rays_o, rays_d, t_cur, t2, occ_flat, *,
     last_k = jnp.where(n_eff >= S,
                        jnp.take_along_axis(k_sel, jnp.maximum(n_eff[:, None] - 1, 0),
                                            axis=1)[:, 0],
-                       K - 1)
+                       scan_end_k)
     t_last = lt(t_cur, last_k)
     t_next = t_last + cd(t_last)
-    # rays that scanned past t2 are finished; park the cursor beyond t2
-    t_next = jnp.where((n_eff < S) & jnp.any(~in_range, axis=1),
-                       t2 + 1.0, t_next)
+    # rays that scanned to/past t2 are finished; park the cursor beyond t2
+    # (the lattice is monotone, so "any candidate out of range" == the last
+    # scanned candidate's t >= t2)
+    t_scan_end = lt(t_cur, scan_end_k)
+    t_next = jnp.where((n_eff < S) & (t_scan_end >= t2), t2 + 1.0, t_next)
     return xyzs, deltas, ts, n_eff, t_next

@@ -130,6 +130,12 @@ def render_test_chunk(params, grid_state, rays_o, rays_d, cfg: NGPConfig, *,
     hits = scene_hits(rays_o, rays_d, cfg, mesh_depth_map)
     t2 = hits[:, 1]
 
+    occ_coarse = None
+    if cfg.cascades == 1:
+        from .ops.marching import build_coarse_occupancy
+        occ_coarse = build_coarse_occupancy(grid_state.occ_flat,
+                                            cfg.cascades, cfg.grid_size)
+
     min_samples = 1 if exp_step_factor == 0 else 4  # reference parity
 
     def cond(carry):
@@ -146,7 +152,7 @@ def render_test_chunk(params, grid_state, rays_o, rays_d, cfg: NGPConfig, *,
             scale=cfg.scale, cascades=cfg.cascades,
             exp_step_factor=exp_step_factor, grid_size=cfg.grid_size,
             max_samples=max_samples, n_candidates=n_candidates,
-            n_samples=samples_per_round)
+            n_samples=samples_per_round, occ_coarse=occ_coarse)
         n_eff = jnp.where(alive, n_eff, 0)
         S = samples_per_round
         flat_x = xyzs.reshape(N * S, 3)

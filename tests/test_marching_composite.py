@@ -367,3 +367,57 @@ def test_two_level_marching_matches_single_level():
                                atol=1e-7)
     np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
     assert int(a.rm_samples) == int(b.rm_samples)
+
+
+def test_march_test_two_level_matches_single_level():
+    """Two-level test marching may take more rounds under segment
+    truncation but must integrate EXACTLY the same samples overall."""
+    from arnerf_tpu.ops.marching import build_coarse_occupancy
+    rng = np.random.default_rng(13)
+    G = 64
+    occ = (rng.random((1, G, G, G)) < 0.04).astype(np.uint8)
+    occ_flat = jnp.asarray(occ.reshape(-1))
+    coarse = build_coarse_occupancy(occ_flat, 1, G)
+    N = 24
+    rays_o = np.tile([0.0, 0.0, -1.2], (N, 1)).astype(np.float32)
+    tgt = rng.uniform(-0.4, 0.4, (N, 3)).astype(np.float32)
+    d = tgt - rays_o
+    rays_d = (d / np.linalg.norm(d, axis=1, keepdims=True)).astype(np.float32)
+    hits = np.asarray(ray_aabb_intersect_single(
+        jnp.asarray(rays_o), jnp.asarray(rays_d), jnp.zeros(3),
+        jnp.full(3, SCALE)))
+    t_cur = jnp.asarray(hits[:, 0])
+    t2 = jnp.asarray(hits[:, 1])
+    kw = dict(scale=SCALE, cascades=1, exp_step_factor=0.0, grid_size=G,
+              max_samples=512, n_candidates=256, n_samples=16)
+
+    def run(two_level):
+        extra = dict(occ_coarse=coarse, seg_cap=16) if two_level else {}
+        tc = t_cur
+        n_total = np.zeros(N, np.int64)
+        t_sum = np.zeros(N, np.float64)   # order-insensitive checksums
+        t_min = np.full(N, np.inf)
+        t_max = np.zeros(N)
+        for _ in range(40):
+            _, _, ts_r, n_eff, tc = march_rays_test(
+                jnp.asarray(rays_o), jnp.asarray(rays_d), tc, t2,
+                occ_flat, **kw, **extra)
+            n = np.asarray(n_eff)
+            tsn = np.asarray(ts_r)
+            for r in range(N):
+                seg = tsn[r, :n[r]]
+                n_total[r] += n[r]
+                t_sum[r] += seg.sum()
+                if n[r]:
+                    t_min[r] = min(t_min[r], seg.min())
+                    t_max[r] = max(t_max[r], seg.max())
+            if bool(jnp.all(tc >= t2)):
+                break
+        return n_total, t_sum, t_min, t_max
+
+    na, sa, mina, maxa = run(False)
+    nb, sb, minb, maxb = run(True)
+    np.testing.assert_array_equal(na, nb)
+    np.testing.assert_allclose(sa, sb, rtol=1e-6)
+    np.testing.assert_allclose(mina, minb, atol=1e-6)
+    np.testing.assert_allclose(maxa, maxb, atol=1e-6)
