@@ -129,19 +129,24 @@ def main():
     rays_o, rays_d = get_rays(dirs800, pose)
     from arnerf_tpu.rendering import render_test
     print("bench: compiling render...", file=sys.stderr, flush=True)
-    render_test(trainer.model_params, trainer.grid_state, rays_o, rays_d,
-                cfg, T_threshold=1e-2, max_samples=128,
-                fast=True)  # compile (GUI spec)
-    t0 = time.time()
-    n_frames = 3
-    for _ in range(n_frames):
-        out = render_test(trainer.model_params, trainer.grid_state, rays_o,
-                          rays_d, cfg, T_threshold=1e-2, max_samples=128,
-                          fast=True)
-        jax.block_until_ready(out["rgb"])
-    fps = n_frames / (time.time() - t0)
-
-    val = trainer.validate(max_images=1, compute_ssim=False)
+    fps = 0.0
+    val = {"psnr": 0.0}
+    try:
+        render_test(trainer.model_params, trainer.grid_state, rays_o, rays_d,
+                    cfg, T_threshold=1e-2, max_samples=128,
+                    fast=True)  # compile (GUI spec)
+        t0 = time.time()
+        n_frames = 3
+        for _ in range(n_frames):
+            out = render_test(trainer.model_params, trainer.grid_state,
+                              rays_o, rays_d, cfg, T_threshold=1e-2,
+                              max_samples=128, fast=True)
+            jax.block_until_ready(out["rgb"])
+        fps = n_frames / (time.time() - t0)
+        val = trainer.validate(max_images=1, compute_ssim=False)
+    except Exception as e:
+        print(f"bench: render section failed ({type(e).__name__}); "
+              "reporting training-only metrics", file=sys.stderr, flush=True)
 
     result = {
         "metric": "train_steps_per_s_8192rays",
