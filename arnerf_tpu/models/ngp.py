@@ -315,3 +315,32 @@ def update_density_grid(params, state: GridState, key, cfg: NGPConfig,
         density_grid=grid, count_grid=state.count_grid,
         occ_flat=occ.reshape(-1),
         bitfield=packbits(grid.reshape(-1), thr))
+
+
+@partial(jax.jit, static_argnames=("cfg", "output_radiance", "chunk"))
+def ngp_forward_chunked(params, x, d, cfg: NGPConfig, exposure=None,
+                        output_radiance: bool = False, chunk: int = 1 << 18):
+    """ngp_forward over large point sets via lax.map sub-chunks inside one
+    program (this runtime's compiler rejects single gathers much past 2^18
+    samples; training stays under that, render rounds don't)."""
+    n = x.shape[0]
+    if n <= chunk:
+        return ngp_forward(params, x, d, cfg, exposure=exposure,
+                           output_radiance=output_radiance)
+    n_pad = (-n) % chunk
+    xp = jnp.concatenate([x, jnp.zeros((n_pad, 3), x.dtype)])
+    dp = jnp.concatenate([d, jnp.ones((n_pad, 3), d.dtype)])
+    if exposure is not None:
+        ep = jnp.concatenate([exposure,
+                              jnp.ones((n_pad, 1), exposure.dtype)])
+        args = (xp.reshape(-1, chunk, 3), dp.reshape(-1, chunk, 3),
+                ep.reshape(-1, chunk, 1))
+        sig, col = jax.lax.map(
+            lambda a: ngp_forward(params, a[0], a[1], cfg, exposure=a[2],
+                                  output_radiance=output_radiance), args)
+    else:
+        args = (xp.reshape(-1, chunk, 3), dp.reshape(-1, chunk, 3))
+        sig, col = jax.lax.map(
+            lambda a: ngp_forward(params, a[0], a[1], cfg,
+                                  output_radiance=output_radiance), args)
+    return sig.reshape(-1)[:n], col.reshape(-1, 3)[:n]

@@ -13,7 +13,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from .models.ngp import NGPConfig, ngp_forward
+from .models.ngp import NGPConfig, ngp_forward, ngp_forward_chunked
 from .ops.intersection import ray_aabb_intersect_single
 from .ops.marching import march_rays_train, march_rays_test
 from .ops.composite import composite_train, composite_test_step
@@ -161,9 +161,9 @@ def render_test_chunk(params, grid_state, rays_o, rays_d, cfg: NGPConfig, *,
         if exposure is not None:
             sample_exposure = jnp.broadcast_to(
                 exposure[:, None, :], (N, S, 1)).reshape(-1, 1)
-        sig, col = ngp_forward(params, flat_x, flat_d + 1e-12, cfg,
-                               exposure=sample_exposure,
-                               output_radiance=output_radiance)
+        sig, col = ngp_forward_chunked(params, flat_x, flat_d + 1e-12, cfg,
+                                       exposure=sample_exposure,
+                                       output_radiance=output_radiance)
         sig = sig.reshape(N, S)
         col = col.reshape(N, S, 3)
         opacity, depth, rgb, still = composite_test_step(
@@ -191,6 +191,114 @@ def render_test_chunk(params, grid_state, rays_o, rays_d, cfg: NGPConfig, *,
     return out
 
 
+@partial(jax.jit, static_argnames=(
+    "cfg", "exp_step_factor", "T_threshold", "max_samples", "n_candidates",
+    "samples_per_round", "output_radiance"))
+def _render_round(params, grid_state, occ_coarse, rays_o, rays_d, t2, state,
+                  cfg: NGPConfig, *, exp_step_factor: float,
+                  T_threshold: float, max_samples: int, n_candidates: int,
+                  samples_per_round: int, output_radiance: bool,
+                  exposure=None):
+    """One render round as a standalone program (host-loop fallback for
+    runtimes whose compiler rejects the fused while_loop)."""
+    N = rays_o.shape[0]
+    t_cur, opacity, depth, rgb, alive, samples_done = state
+    xyzs, deltas, ts, n_eff, t_next = march_rays_test(
+        rays_o, rays_d, t_cur, t2, grid_state.occ_flat,
+        scale=cfg.scale, cascades=cfg.cascades,
+        exp_step_factor=exp_step_factor, grid_size=cfg.grid_size,
+        max_samples=max_samples, n_candidates=n_candidates,
+        n_samples=samples_per_round, occ_coarse=occ_coarse)
+    n_eff = jnp.where(alive, n_eff, 0)
+    S = samples_per_round
+    flat_x = xyzs.reshape(N * S, 3)
+    flat_d = jnp.broadcast_to(rays_d[:, None, :], (N, S, 3)).reshape(-1, 3)
+    sample_exposure = None
+    if exposure is not None:
+        sample_exposure = jnp.broadcast_to(
+            exposure[:, None, :], (N, S, 1)).reshape(-1, 1)
+    sig, col = ngp_forward_chunked(params, flat_x, flat_d + 1e-12, cfg,
+                                   exposure=sample_exposure,
+                                   output_radiance=output_radiance)
+    opacity, depth, rgb, still = composite_test_step(
+        sig.reshape(N, S), col.reshape(N, S, 3), deltas, ts, n_eff,
+        opacity, depth, rgb, T_threshold)
+    t_cur = jnp.where(alive, t_next, t_cur)
+    alive = alive & still & (t_cur < t2)
+    return (t_cur, opacity, depth, rgb, alive, samples_done + S), \
+        jnp.sum(n_eff)
+
+
+def render_test_chunk_host(params, grid_state, rays_o, rays_d,
+                           cfg: NGPConfig, *, exp_step_factor: float = 0.0,
+                           T_threshold: float = 1e-4,
+                           max_samples: int = MAX_SAMPLES,
+                           n_candidates: int = 512,
+                           samples_per_round: int = 32,
+                           output_radiance: bool = False, exposure=None,
+                           mesh_depth_map=None, init_state=None,
+                           max_rounds: int = 0, return_state: bool = False,
+                           sync_every: int = 2):
+    """render_test_chunk semantics with the round loop on the host: one
+    jitted program per round, alive-check synced every `sync_every` rounds."""
+    import numpy as np
+    N = rays_o.shape[0]
+    hits = scene_hits(rays_o, rays_d, cfg, mesh_depth_map)
+    t2 = hits[:, 1]
+    occ_coarse = None
+    if cfg.cascades == 1:
+        from .ops.marching import build_coarse_occupancy
+        occ_coarse = build_coarse_occupancy(grid_state.occ_flat,
+                                            cfg.cascades, cfg.grid_size)
+    if init_state is None:
+        t_cur = hits[:, 0]
+        alive = t_cur >= 0
+        state = (jnp.where(alive, t_cur, t2 + 1.0), jnp.zeros(N),
+                 jnp.zeros(N), jnp.zeros((N, 3)), alive, jnp.int32(0))
+    else:
+        state = init_state
+    total = jnp.int32(0)
+    rounds = 0
+    while int(state[5]) < max_samples:
+        if max_rounds and rounds >= max_rounds:
+            break
+        state, n = _render_round(
+            params, grid_state, occ_coarse, rays_o, rays_d, t2, state, cfg,
+            exp_step_factor=exp_step_factor, T_threshold=T_threshold,
+            max_samples=max_samples, n_candidates=n_candidates,
+            samples_per_round=samples_per_round,
+            output_radiance=output_radiance, exposure=exposure)
+        total = total + n
+        rounds += 1
+        if rounds % sync_every == 0 and not bool(np.any(np.asarray(state[4]))):
+            break
+    out = {"opacity": state[1], "depth": state[2], "rgb": state[3],
+           "total_samples": total}
+    if return_state:
+        out["state"] = state
+    return out
+
+
+_WHILE_LOOP_OK = None
+
+
+def render_test_dispatch(*args, **kwargs):
+    """render_test_chunk with automatic fallback to the host-loop variant
+    when the fused while_loop fails to compile on this runtime."""
+    global _WHILE_LOOP_OK
+    if _WHILE_LOOP_OK is False:
+        return render_test_chunk_host(*args, **kwargs)
+    try:
+        out = render_test_chunk(*args, **kwargs)
+        _WHILE_LOOP_OK = True
+        return out
+    except Exception:
+        if _WHILE_LOOP_OK is True:
+            raise  # it compiled before: a real runtime error, don't mask
+        _WHILE_LOOP_OK = False
+        return render_test_chunk_host(*args, **kwargs)
+
+
 def render_test_fast(params, grid_state, rays_o, rays_d, cfg: NGPConfig, *,
                      phase1_rounds: int = 2, chunk: int = 1 << 16,
                      min_bucket: int = 4096, **kwargs):
@@ -215,9 +323,9 @@ def render_test_fast(params, grid_state, rays_o, rays_d, cfg: NGPConfig, *,
         if n < chunk:
             ro = jnp.concatenate([ro, jnp.zeros((chunk - n, 3))])
             rd = jnp.concatenate([rd, jnp.ones((chunk - n, 3))])
-        res = render_test_chunk(params, grid_state, ro, rd, cfg,
-                                max_rounds=phase1_rounds, return_state=True,
-                                **kwargs)
+        res = render_test_dispatch(params, grid_state, ro, rd, cfg,
+                                   max_rounds=phase1_rounds,
+                                   return_state=True, **kwargs)
         st = res["state"]
         states.append([np.asarray(s) for s in st[:5]] + [int(st[5])])
         total += int(res["total_samples"])
@@ -247,8 +355,8 @@ def render_test_fast(params, grid_state, rays_o, rays_d, cfg: NGPConfig, *,
                  jnp.concatenate([jnp.ones(len(alive_idx), bool),
                                   jnp.zeros(pad, bool)]),
                  jnp.int32(samples_done))
-        res2 = render_test_chunk(params, grid_state, ro, rd, cfg,
-                                 init_state=state, **kwargs)
+        res2 = render_test_dispatch(params, grid_state, ro, rd, cfg,
+                                    init_state=state, **kwargs)
         opacity[alive_idx] = np.asarray(res2["opacity"])[:len(alive_idx)]
         depth[alive_idx] = np.asarray(res2["depth"])[:len(alive_idx)]
         rgb[alive_idx] = np.asarray(res2["rgb"])[:len(alive_idx)]
@@ -304,7 +412,7 @@ def render_test(params, grid_state, rays_o, rays_d, cfg: NGPConfig, *,
             if n < chunk:
                 mdm = jnp.concatenate([mdm, jnp.zeros(chunk - n)])
             kw["mesh_depth_map"] = mdm
-        res = render_test_chunk(params, grid_state, ro, rd, cfg, **kw)
+        res = render_test_dispatch(params, grid_state, ro, rd, cfg, **kw)
         outs.append({k: v[:n] for k, v in res.items() if k != "total_samples"}
                     | {"total_samples": res["total_samples"]})
     result = {k: jnp.concatenate([o[k] for o in outs])
