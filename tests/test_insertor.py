@@ -134,3 +134,50 @@ def test_simplify_shadow_field_darkens_near_occluder(insertor):
     s_near = float(soft_shadow_map(sf, model_pos, 1.0, light_sh, near_pts)[0])
     s_far = float(soft_shadow_map(sf, model_pos, 1.0, light_sh, far_pts)[0])
     assert s_near < s_far <= 1.0 + 1e-6
+
+
+def test_ssdf_shadow_pipeline(insertor, tmp_path_factory):
+    """SGShadow end to end with a synthetic PCA volume: self-shadow light
+    decay + scene shadow factor + full composite."""
+    tmp = tmp_path_factory.mktemp("ssdf")
+    rng = np.random.default_rng(3)
+    # plausible spherical-SDF PCA data: mean angle ~0.3rad, small variations
+    np.savez(tmp / "pca.npz",
+             coeff=rng.normal(0, 0.02, (20 * 20 * 20, 128)).astype(np.float32),
+             component=rng.normal(0, 0.05, (128, 74, 148)).astype(np.float32),
+             mean=np.full((1, 74, 148), 0.3, np.float32))
+    insertor.set_sg_shadow(str(tmp / "pca.npz"))
+    # override viewer-spec constructor args used by set_sg_shadow
+    from arnerf_tpu.insert.envfit import trans_raw_sg
+    sgs = trans_raw_sg(jnp.asarray(
+        rng.normal(size=(8, 7)), jnp.float32) * jnp.asarray(
+            [1, 1, 1, 20, 1, 1, 1.0]))
+    sgs = jnp.abs(sgs).at[:, :3].set(sgs[:, :3])  # keep axes signed
+
+    pts = jnp.asarray(rng.uniform(-0.5, 0.5, (40, 3)), jnp.float32)
+    model_pos = jnp.zeros(3)
+    factor = insertor.sg_shadow.calc_shadow_factor(0.3, pts, model_pos, sgs)
+    assert factor.shape == (40,)
+    assert np.all((np.asarray(factor) >= 0) & (np.asarray(factor) <= 1))
+
+    decayed = insertor.sg_shadow.calc_self_shadow_light_decay(
+        0.3, pts, model_pos, sgs)
+    assert decayed.shape == (40, 8, 7)
+    # decay only reduces amplitudes
+    assert np.all(np.asarray(decayed[..., -3:])
+                  <= np.asarray(sgs[None, :, -3:]) + 1e-6)
+
+    # full SG composite with shadows through render_insert_object
+    H = W = 6
+    bbox = [[8, 8], [8 + H, 8 + W]]
+    normals = rng.normal(size=(H, W, 3)).astype(np.float32)
+    normals /= np.linalg.norm(normals, axis=-1, keepdims=True)
+    depths = jnp.asarray(np.full((H, W), 1.0, np.float32))
+    pose = jnp.asarray(insertor.dataset.poses[0])
+    insertor.generate_probe(jnp.zeros(3), sh_probe=True)  # sets cubemap_rgb
+    out = insertor.render_insert_object(
+        jnp.asarray(normals), depths, pose, sgs, use_sg_base=True,
+        sg_use_self_shadow=True, model_bbox=bbox, model_bbox_last=None,
+        model_radius=0.3, model_pos=model_pos, gen_shadow=1)
+    assert out.shape == (insertor.H, insertor.W, 3)
+    assert np.isfinite(out).all()
