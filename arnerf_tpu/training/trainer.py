@@ -430,7 +430,7 @@ class NeRFTrainer:
     def model_params(self):
         return {k: v for k, v in self.params.items() if k != "pose_deltas"}
 
-    def validate(self, max_images=None, compute_ssim=True):
+    def validate(self, max_images=None, compute_ssim=True, **render_kwargs):
         from .metrics import ssim as ssim_fn
         ds = self.test_dataset or self.dataset
         w, h = ds.img_wh
@@ -438,7 +438,7 @@ class NeRFTrainer:
                                                          len(ds.poses))
         psnrs, ssims = [], []
         for i in range(n):
-            out = self.render_pose(ds.poses[i])
+            out = self.render_pose(ds.poses[i], **render_kwargs)
             pred = np.asarray(out["rgb"]).reshape(h, w, 3)
             # synthetic background is white in training (exp_step_factor==0)
             if self.exp_step_factor == 0.0:
