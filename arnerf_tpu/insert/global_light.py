@@ -11,7 +11,7 @@ import os
 
 import numpy as np
 
-from .sh_math import normalize, write2ply
+from .sh_math import write2ply
 
 
 def ransac_plane(pts, thresh=0.02, n_iters=256, rng=None):

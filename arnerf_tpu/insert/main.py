@@ -23,21 +23,19 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..models.ngp import NGPConfig, ngp_init, grid_state_init, GridState
+from ..models.ngp import NGPConfig, ngp_init, grid_state_init
 from ..rendering import (render_test, render_surface_normal)
 from ..datasets.ray_utils import get_ray_directions, get_rays
 from ..training.ckpt import load_ckpt
-from .sh_math import (get_sh_coeff, get_sh_val, get_cubemap_rays,
-                      get_sphere_rays, rotate_sh_by_recalc, normalize,
-                      write2ply, sh2envmap)
+from .sh_math import (get_sh_coeff, get_cubemap_rays, get_sphere_rays,
+                      rotate_sh_by_recalc, normalize, write2ply, sh2envmap)
 from .render_utils import (cubemap2env_map, sh_render_core, sg_render_core,
                            _gaussian_blur_3x3)
 from .envfit import EnvOptim, trans_raw_sg, sg2envmap
 from .insert_models import (get_embedder, mlp_skip_init, mlp_skip_apply,
                             train_global_env_prec)
 from .global_light import GlobalLightEstimator
-from .shadow_fields import ComplexSF, SimplifySF, soft_shadow_map, \
-    transform_sf_txt
+from .shadow_fields import ComplexSF, soft_shadow_map, transform_sf_txt
 from .sg_shadow import SGShadow
 from .tonemapping import tonemapping_simple, tonemapping_simple_gamma
 from .server import Server

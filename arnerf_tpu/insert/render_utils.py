@@ -7,8 +7,6 @@ shapes on TPU.
 SG format matches the reference: 7 floats = [axis(3), lambda(1), mu/rgb(3)].
 """
 
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -12,8 +12,6 @@ quadrature: C_ijk = ∫ Y_i Y_j Y_k dΩ via Gauss-Legendre x uniform-phi,
 exact for band-limited integrands of this degree.
 """
 
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ Components and their reference counterparts:
 
 from dataclasses import dataclass
 from functools import partial
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import numpy as np
 import jax

@@ -19,7 +19,6 @@ For exp_step_factor == 0 the lattice is uniform: t(k) = t1 + k*dt_min.
 """
 
 import math
-from functools import partial
 
 import jax.numpy as jnp
 

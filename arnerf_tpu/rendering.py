@@ -8,7 +8,6 @@ dynamic alive-list replaced by masks and a lax.while_loop).
 """
 
 from functools import partial
-from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
