@@ -1,0 +1,64 @@
+"""Long training run on the TPU: logs the val-PSNR trajectory on the
+procedural scene (quality-convergence evidence under the shared device)."""
+
+import os
+import sys
+import time
+
+import numpy as np
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, "/root/repo")
+
+from arnerf_tpu.models import NGPConfig
+from arnerf_tpu.training import TrainConfig, NeRFTrainer
+from arnerf_tpu.training.losses import NeRFLossConfig
+from arnerf_tpu.datasets.synthetic import SyntheticDataset, SyntheticConfig
+
+
+def main():
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 4800
+    wh = 256
+    scfg = SyntheticConfig(img_wh=(wh, wh), n_train=24, n_test=2,
+                           gt_samples=512)
+    cache = f"/tmp/arnerf_bench_data_{wh}.npz"
+    if os.path.exists(cache):
+        blob = np.load(cache)
+        train_ds = SyntheticDataset(split="train", config=scfg,
+                                    read_meta=False)
+        test_ds = SyntheticDataset(split="test", config=scfg,
+                                   read_meta=False)
+        train_ds.rays = blob["train_rays"]
+        test_ds.rays = blob["test_rays"]
+    else:
+        train_ds = SyntheticDataset(split="train", config=scfg)
+        test_ds = SyntheticDataset(split="test", config=scfg)
+        np.savez(cache, train_rays=train_ds.rays, test_rays=test_ds.rays)
+
+    cfg = NGPConfig(scale=0.5)
+    tc = TrainConfig(batch_size=8192, lr=1e-2, num_epochs=30,
+                     loss=NeRFLossConfig(grid_scale=0.5))
+    tr = NeRFTrainer(cfg, tc, train_ds, test_ds, key=jax.random.PRNGKey(0))
+    tr.on_train_start()
+    t0 = time.time()
+    while tr.step < steps:
+        m = tr.fit(n_steps=min(480, steps - tr.step), log_every=480)
+        try:
+            val = tr.validate(max_images=1, compute_ssim=True,
+                              T_threshold=1e-2, max_samples=96)
+            print(f"QUALITY step={tr.step} "
+                  f"train_psnr={float(m['psnr']):.2f} "
+                  f"val_psnr={val['psnr']:.2f} val_ssim={val['ssim']:.4f} "
+                  f"({(time.time()-t0)/60:.0f} min)", flush=True)
+        except Exception as e:
+            print(f"QUALITY step={tr.step} val failed {type(e).__name__}",
+                  flush=True)
+        tr.save("/tmp/quality_run_ckpt.npz")
+    print("DONE", flush=True)
+
+
+if __name__ == "__main__":
+    main()
