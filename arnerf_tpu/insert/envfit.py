@@ -168,19 +168,65 @@ class EnvTrainer:
 
         self._step = _step
 
-    def train(self, epochs=200, batch_size=16):
+    def train(self, epochs=200, batch_size=16, ckpt_dir=None,
+              ckpt_every=100):
+        """Optionally checkpoints model params to ckpt_dir (the reference
+        saves model/optimizer every 500 epochs, envfit.py:245-255)."""
+        import os
         n = self.envmaps.shape[0]
         p = {k: v for k, v in self.params.items() if k != "n_sg"}
+        start = 0
+        if ckpt_dir:
+            os.makedirs(ckpt_dir, exist_ok=True)
+            ckpts = sorted(f for f in os.listdir(ckpt_dir)
+                           if f.startswith("env_model_"))
+            if ckpts:
+                import numpy as _np
+                blob = _np.load(os.path.join(ckpt_dir, ckpts[-1]),
+                                allow_pickle=True)
+                p = {k: jnp.asarray(v) for k, v in blob.items()
+                     if k != "epoch"}
+                # restore nested conv dicts
+                p = self._unflatten(p)
+                start = int(blob["epoch"])
         loss = jnp.inf
-        for _ in range(epochs):
+        for epoch in range(start, epochs):
             self.key, k = jax.random.split(self.key)
             perm = jax.random.permutation(k, n)
             for i in range(0, n, batch_size):
                 idx = perm[i:i + batch_size]
                 p, self.opt_state, loss = self._step(
                     p, self.opt_state, self.envmaps[idx])
+            if ckpt_dir and (epoch + 1) % ckpt_every == 0:
+                self._save(ckpt_dir, p, epoch + 1)
+        if ckpt_dir:
+            self._save(ckpt_dir, p, epochs)
         self.params.update(p)
         return float(loss)
+
+    @staticmethod
+    def _flatten(p):
+        out = {}
+        for name, layer in p.items():
+            for k, v in layer.items():
+                out[f"{name}.{k}"] = v
+        return out
+
+    @staticmethod
+    def _unflatten(flat):
+        out = {}
+        for key, v in flat.items():
+            name, k = key.split(".")
+            out.setdefault(name, {})[k] = v
+        return out
+
+    def _save(self, ckpt_dir, p, epoch):
+        import os
+        import numpy as _np
+        blob = {k: _np.asarray(v) for k, v in self._flatten(p).items()}
+        blob["epoch"] = _np.asarray(epoch)
+        _np.savez(os.path.join(ckpt_dir, f"env_model_{epoch:06d}.npz"),
+                  **blob)
 
     def eval(self, im):
         return sg_net_apply(self.params, jnp.asarray(im)[None])[0]
