@@ -421,3 +421,65 @@ def test_march_test_two_level_matches_single_level():
     np.testing.assert_allclose(sa, sb, rtol=1e-6)
     np.testing.assert_allclose(mina, minb, atol=1e-6)
     np.testing.assert_allclose(maxa, maxb, atol=1e-6)
+
+
+def test_march_train_multi_cascade_exp_stepping():
+    """Cascaded grids + exponential stepping vs the serial reference."""
+    rng = np.random.default_rng(21)
+    G, scale, cascades, f, maxs = 32, 2.0, 3, 1 / 256, 512
+    occ = (rng.random((cascades, G, G, G)) < 0.08).astype(np.uint8)
+    N = 12
+    rays_o = np.tile([0.0, 0.0, -3.0], (N, 1)).astype(np.float32)
+    tgt = rng.uniform(-1.5, 1.5, (N, 3)).astype(np.float32)
+    d = tgt - rays_o
+    rays_d = (d / np.linalg.norm(d, axis=1, keepdims=True)).astype(np.float32)
+    hits = np.asarray(ray_aabb_intersect_single(
+        jnp.asarray(rays_o), jnp.asarray(rays_d), jnp.zeros(3),
+        jnp.full(3, scale)))
+    K = num_lattice_steps(0.01, 0.01 + 2 * SQRT3 * scale, f, maxs, G, scale)
+    res = march_rays_train(
+        jnp.asarray(rays_o), jnp.asarray(rays_d), jnp.asarray(hits),
+        jnp.asarray(occ).reshape(-1), jnp.zeros(N), scale=scale,
+        cascades=cascades, exp_step_factor=f, grid_size=G, max_samples=maxs,
+        n_candidates=K, m_cap=4096, s_cap=256)
+    counts = np.asarray(res.counts)
+    starts = np.asarray(res.ray_start)
+    ts = np.asarray(res.ts)
+    assert counts.sum() > 0
+    for r in range(N):
+        # the serial reference walks the true recurrence; the closed-form
+        # lattice may shift by <1 step at clamp boundaries, so compare
+        # counts loosely and verify every selected sample IS occupied
+        ref = np_march_ray(rays_o[r], rays_d[r], hits[r, 0], hits[r, 1],
+                           occ, f, maxs, G, scale, cascades, 256)
+        assert abs(counts[r] - len(ref)) <= max(2, 0.1 * len(ref) + 1), r
+        for t in ts[starts[r]:starts[r] + counts[r]]:
+            x = rays_o[r] + t * rays_d[r]
+            dt = np_calc_dt(t, f, maxs, G, scale)
+            mx = np.max(np.abs(x))
+            mip_p = min(cascades - 1,
+                        max(0, int(np.floor(np.log2(max(mx, 1e-12)))) + 2))
+            mip_d = min(cascades - 1,
+                        max(0, int(np.floor(np.log2(dt * G))) + 1))
+            mip = max(mip_p, mip_d)
+            mb = min(2.0 ** (mip - 1), scale)
+            n = np.clip(0.5 * (x / mb + 1) * G, 0, G - 1).astype(int)
+            assert occ[mip, n[0], n[1], n[2]], (r, t)
+
+
+def test_grid_update_erode_path():
+    """erode=True decays invisible-ish cells harder (colmap datasets)."""
+    from arnerf_tpu.models import (NGPConfig, ngp_init, grid_state_init,
+                                   mark_invisible_cells, update_density_grid)
+    cfg = NGPConfig(scale=0.5, grid_size=32, n_levels=4,
+                    log2_hashmap_size=12, base_resolution=4)
+    params = ngp_init(jax.random.PRNGKey(0), cfg)
+    state = grid_state_init(cfg)
+    pose = jnp.asarray([[[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, -1.0]]])
+    K = jnp.asarray([[100.0, 0, 32], [0, 100.0, 32], [0, 0, 1]])
+    state = mark_invisible_cells(state, K, pose, cfg, 64, 64)
+    state = update_density_grid(params, state, jax.random.PRNGKey(1), cfg,
+                                density_threshold=0.01, warmup=True,
+                                erode=True)
+    assert np.isfinite(np.asarray(state.density_grid)).all()
+    assert int(jnp.sum(state.occ_flat)) > 0
