@@ -58,6 +58,7 @@ class TrainConfig:
     samples_per_ray_budget: int = 32
     s_cap: int = MAX_SAMPLES
     max_samples: int = MAX_SAMPLES
+    val_batch_size: int = 1 << 20        # reference opt.py:66-67
 
     @property
     def total_steps(self):
@@ -251,6 +252,12 @@ class NeRFTrainer:
         self.opt_state = self.tx.init(self.params)
         self.grid_state = grid_state_init(cfg)
         self.step = 0
+        # reference --val_batch_size chunks MODEL evals at test time
+        # (opt.py:66-67); here it bounds rays-per-chunk so that
+        # rays * samples_per_round stays within the same eval budget
+        self.val_chunk = min(1 << 16,
+                             max(4096, getattr(tc, "val_batch_size",
+                                               1 << 20) // 16))
 
         # device-resident dataset tensors
         self.images = jnp.asarray(dataset.rays)
@@ -422,6 +429,7 @@ class NeRFTrainer:
     def render_pose(self, pose, **kwargs):
         dirs = self.directions
         rays_o, rays_d = get_rays(dirs, jnp.asarray(pose))
+        kwargs.setdefault("chunk", self.val_chunk)
         return render_test(self.model_params, self.grid_state, rays_o, rays_d,
                            self.cfg, exp_step_factor=self.exp_step_factor,
                            **kwargs)

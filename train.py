@@ -69,6 +69,7 @@ def main():
         random_bg=hparams.random_bg, optimize_ext=hparams.optimize_ext,
         ray_sampling_strategy=hparams.ray_sampling_strategy,
         use_exposure=hparams.use_exposure,
+        val_batch_size=hparams.val_batch_size,
         unit_exposure_rgb=float(getattr(train_ds, 'unit_exposure_rgb', 0.5)),
         erode=hparams.dataset_name == 'colmap',
         loss=NeRFLossConfig(
