@@ -234,11 +234,12 @@ def march_rays_train(rays_o, rays_d, hits_t, occ_flat, noise, *,
 
 @partial(jax.jit, static_argnames=(
     "scale", "cascades", "exp_step_factor", "grid_size", "max_samples",
-    "n_candidates", "n_samples", "seg_cap"))
+    "n_candidates", "n_samples", "seg_cap", "dt_scale"))
 def march_rays_test(rays_o, rays_d, t_cur, t2, occ_flat, *,
                     scale: float, cascades: int, exp_step_factor: float,
                     grid_size: int, max_samples: int, n_candidates: int,
-                    n_samples: int, occ_coarse=None, seg_cap: int = 32):
+                    n_samples: int, occ_coarse=None, seg_cap: int = 32,
+                    dt_scale: float = None):
     """One incremental marching round for the test-time renderer.
 
     From each ray's current position t_cur, find its next `n_samples`
@@ -256,13 +257,24 @@ def march_rays_test(rays_o, rays_d, t_cur, t2, occ_flat, *,
     t_next is the lattice position after the last CONSUMED candidate: if a
     ray found n_samples occupied points, marching resumes right after the
     n_samples-th; otherwise after the last candidate scanned.
+
+    `dt_scale` overrides the scale used for STEP SIZING only (dt_max =
+    SQRT3*2*dt_scale/grid_size). The reference's test kernel passes
+    `cascades` where calc_dt expects `scale` (raymarching.cu:370,399), so
+    its test-time steps use dt_max = SQRT3*2*cascades/G — coarser than
+    training for scale<1 scenes. Pass dt_scale=float(cascades) to mirror
+    that behavior (the renderer does by default); None keeps dt_max
+    consistent with training.
     """
     N = rays_o.shape[0]
     K, S = n_candidates, n_samples
+    step_scale = scale if dt_scale is None else dt_scale
     cd = partial(calc_dt, exp_step_factor=exp_step_factor,
-                 max_samples=max_samples, grid_size=grid_size, scale=scale)
+                 max_samples=max_samples, grid_size=grid_size,
+                 scale=step_scale)
     lt = partial(lattice_t, exp_step_factor=exp_step_factor,
-                 max_samples=max_samples, grid_size=grid_size, scale=scale)
+                 max_samples=max_samples, grid_size=grid_size,
+                 scale=step_scale)
 
     two_level = occ_coarse is not None and cascades == 1
 

@@ -105,14 +105,16 @@ def render_train(params, grid_state, rays_o, rays_d, key, cfg: NGPConfig, *,
 
 @partial(jax.jit, static_argnames=(
     "cfg", "exp_step_factor", "T_threshold", "max_samples", "n_candidates",
-    "samples_per_round", "output_radiance", "max_rounds", "return_state"))
+    "samples_per_round", "output_radiance", "max_rounds", "return_state",
+    "dt_scale"))
 def render_test_chunk(params, grid_state, rays_o, rays_d, cfg: NGPConfig, *,
                       exp_step_factor: float = 0.0, T_threshold: float = 1e-4,
                       max_samples: int = MAX_SAMPLES, n_candidates: int = 512,
                       samples_per_round: int = 32,
                       output_radiance: bool = False, exposure=None,
                       mesh_depth_map=None, init_state=None,
-                      max_rounds: int = 0, return_state: bool = False):
+                      max_rounds: int = 0, return_state: bool = False,
+                      dt_scale: float = None):
     """Non-differentiable incremental render of one chunk of rays.
 
     lax.while_loop over fixed-shape rounds; each round marches every
@@ -151,7 +153,8 @@ def render_test_chunk(params, grid_state, rays_o, rays_d, cfg: NGPConfig, *,
             scale=cfg.scale, cascades=cfg.cascades,
             exp_step_factor=exp_step_factor, grid_size=cfg.grid_size,
             max_samples=max_samples, n_candidates=n_candidates,
-            n_samples=samples_per_round, occ_coarse=occ_coarse)
+            n_samples=samples_per_round, occ_coarse=occ_coarse,
+            dt_scale=dt_scale)
         n_eff = jnp.where(alive, n_eff, 0)
         S = samples_per_round
         flat_x = xyzs.reshape(N * S, 3)
@@ -192,12 +195,12 @@ def render_test_chunk(params, grid_state, rays_o, rays_d, cfg: NGPConfig, *,
 
 @partial(jax.jit, static_argnames=(
     "cfg", "exp_step_factor", "T_threshold", "max_samples", "n_candidates",
-    "samples_per_round", "output_radiance"))
+    "samples_per_round", "output_radiance", "dt_scale"))
 def _render_round(params, grid_state, occ_coarse, rays_o, rays_d, t2, state,
                   cfg: NGPConfig, *, exp_step_factor: float,
                   T_threshold: float, max_samples: int, n_candidates: int,
                   samples_per_round: int, output_radiance: bool,
-                  exposure=None):
+                  exposure=None, dt_scale: float = None):
     """One render round as a standalone program (host-loop fallback for
     runtimes whose compiler rejects the fused while_loop)."""
     N = rays_o.shape[0]
@@ -207,7 +210,8 @@ def _render_round(params, grid_state, occ_coarse, rays_o, rays_d, t2, state,
         scale=cfg.scale, cascades=cfg.cascades,
         exp_step_factor=exp_step_factor, grid_size=cfg.grid_size,
         max_samples=max_samples, n_candidates=n_candidates,
-        n_samples=samples_per_round, occ_coarse=occ_coarse)
+        n_samples=samples_per_round, occ_coarse=occ_coarse,
+        dt_scale=dt_scale)
     n_eff = jnp.where(alive, n_eff, 0)
     S = samples_per_round
     flat_x = xyzs.reshape(N * S, 3)
@@ -237,7 +241,7 @@ def render_test_chunk_host(params, grid_state, rays_o, rays_d,
                            output_radiance: bool = False, exposure=None,
                            mesh_depth_map=None, init_state=None,
                            max_rounds: int = 0, return_state: bool = False,
-                           sync_every: int = 2):
+                           sync_every: int = 2, dt_scale: float = None):
     """render_test_chunk semantics with the round loop on the host: one
     jitted program per round, alive-check synced every `sync_every` rounds."""
     import numpy as np
@@ -266,7 +270,8 @@ def render_test_chunk_host(params, grid_state, rays_o, rays_d,
             exp_step_factor=exp_step_factor, T_threshold=T_threshold,
             max_samples=max_samples, n_candidates=n_candidates,
             samples_per_round=samples_per_round,
-            output_radiance=output_radiance, exposure=exposure)
+            output_radiance=output_radiance, exposure=exposure,
+            dt_scale=dt_scale)
         total = total + n
         rounds += 1
         if rounds % sync_every == 0 and not bool(np.any(np.asarray(state[4]))):
@@ -370,9 +375,16 @@ def render_test(params, grid_state, rays_o, rays_d, cfg: NGPConfig, *,
                 blend_bkg: bool = True, fast: bool = False, **kwargs):
     """Full test-time render, chunked over rays (host loop), with the
     reference's background options (rendering.py:240-250): SH environment,
-    image background (AR insertion), or none."""
+    image background (AR insertion), or none.
+
+    Step sizing mirrors the reference's test kernel, which passes
+    `cascades` where calc_dt expects `scale` (raymarching.cu:370,399) —
+    only observable for exp_step_factor>0 scenes. Override with
+    dt_scale=None to step exactly as in training."""
     N = rays_o.shape[0]
     chunk = min(chunk, N)
+    if "dt_scale" not in kwargs:
+        kwargs["dt_scale"] = float(cfg.cascades)
     if fast and kwargs.get("mesh_depth_map") is None \
             and kwargs.get("exposure") is None:
         result = render_test_fast(params, grid_state, rays_o, rays_d, cfg,

@@ -483,3 +483,29 @@ def test_grid_update_erode_path():
                                 erode=True)
     assert np.isfinite(np.asarray(state.density_grid)).all()
     assert int(jnp.sum(state.occ_flat)) > 0
+
+
+def test_march_test_dt_scale_quirk():
+    """dt_scale mirrors the reference test kernel passing `cascades` where
+    calc_dt expects `scale` (raymarching.cu:370,399): step sizes are capped
+    at SQRT3*2*dt_scale/G, while occupancy mip bounds still use `scale`."""
+    from arnerf_tpu.ops.marching import march_rays_test
+    G, C, S = 128, 6, 16.0  # ref cap 0.1624 binds for t > 41.6
+    occ = jnp.ones((C * G ** 3,), jnp.uint8)
+    ro = jnp.zeros((4, 3))
+    rd = jnp.tile(jnp.asarray([[1.0, 0, 0]]), (4, 1))
+    t0 = jnp.full((4,), 45.0)
+    t2 = jnp.full((4,), 55.0)
+    kw = dict(scale=S, cascades=C, exp_step_factor=1 / 256, grid_size=G,
+              max_samples=1024, n_candidates=64, n_samples=16)
+    a = march_rays_test(ro, rd, t0, t2, occ, **kw)
+    b = march_rays_test(ro, rd, t0, t2, occ, dt_scale=float(C), **kw)
+    sq32 = float(np.sqrt(3) * 2 / G)
+    assert float(jnp.max(a[1])) > sq32 * C + 1e-4      # train cap not binding
+    assert float(jnp.max(b[1])) <= sq32 * C + 1e-6     # ref cap binding
+    # exp_step_factor=0 (synthetic scenes): dt==dt_min always, quirk is a
+    # no-op there
+    kw0 = dict(kw, exp_step_factor=0.0)
+    a0 = march_rays_test(ro, rd, t0, t2, occ, **kw0)
+    b0 = march_rays_test(ro, rd, t0, t2, occ, dt_scale=float(C), **kw0)
+    assert jnp.array_equal(a0[1], b0[1]) and jnp.array_equal(a0[2], b0[2])
