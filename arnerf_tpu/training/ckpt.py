@@ -93,3 +93,55 @@ def slim_ckpt(path_in, path_out):
             or k in ("grid/occ_flat", "grid/bitfield")}
     keep["step"] = blobs.get("step", np.asarray(0))
     np.savez(path_out, **keep)
+
+
+# ---------------------------------------------------------------------------
+# Orbax backend (optional) — async, sharding-aware checkpointing for
+# multi-host TPU runs. The npz path above stays the default (inspectable,
+# dependency-free); pass trainer.save/load a directory path ending in
+# ".orbax" (or use these directly) to get orbax's atomic-rename durability
+# and per-array chunked IO. Mirrors SURVEY §5's checkpoint/resume plan.
+# ---------------------------------------------------------------------------
+
+def save_ckpt_orbax(path, *, params, grid_state=None, opt_state=None,
+                    step=0, extra=None):
+    """Save the same artifact set as save_ckpt via orbax StandardCheckpointer
+    (directory tree, one atomic rename at the end)."""
+    import orbax.checkpoint as ocp
+    tree = {"params": params, "step": jnp.asarray(step)}
+    if grid_state is not None:
+        tree["grid"] = dict(grid_state._asdict())
+    if opt_state is not None:
+        leaves, treedef = jax.tree.flatten(opt_state)
+        tree["opt"] = {str(i): leaf for i, leaf in enumerate(leaves)}
+        tree["opt_treedef"] = jnp.asarray(
+            np.frombuffer(pickle.dumps(treedef), dtype=np.uint8))
+    path = os.path.abspath(path)
+    if os.path.exists(path):
+        import shutil
+        shutil.rmtree(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, tree)
+
+
+def load_ckpt_orbax(path, *, params_template, grid_template=None,
+                    opt_state_template=None):
+    """Counterpart of load_ckpt for orbax directories; same return tuple and
+    slim-tolerant semantics (missing pieces pass templates through)."""
+    import orbax.checkpoint as ocp
+    with ocp.StandardCheckpointer() as ckptr:
+        tree = ckptr.restore(os.path.abspath(path))
+    params = jax.tree.map(jnp.asarray, tree["params"])
+    grid_state = grid_template
+    if grid_template is not None and "grid" in tree:
+        gd = {k: jnp.asarray(v) for k, v in tree["grid"].items()}
+        grid_state = type(grid_template)(**{
+            **grid_template._asdict(), **gd})
+    opt_state = opt_state_template
+    if opt_state_template is not None and "opt_treedef" in tree:
+        treedef = pickle.loads(
+            np.asarray(tree["opt_treedef"], dtype=np.uint8).tobytes())
+        leaves = [jnp.asarray(tree["opt"][str(i)])
+                  for i in range(treedef.num_leaves)]
+        opt_state = jax.tree.unflatten(treedef, leaves)
+    return params, grid_state, opt_state, int(tree.get("step", 0))

@@ -463,12 +463,15 @@ class NeRFTrainer:
     # -- checkpointing -----------------------------------------------------
 
     def save(self, path):
-        ckpt_lib.save_ckpt(path, params=self.params,
-                           grid_state=self.grid_state,
-                           opt_state=self.opt_state, step=self.step)
+        save = (ckpt_lib.save_ckpt_orbax if str(path).endswith(".orbax")
+                else ckpt_lib.save_ckpt)
+        save(path, params=self.params, grid_state=self.grid_state,
+             opt_state=self.opt_state, step=self.step)
 
     def load(self, path):
+        load = (ckpt_lib.load_ckpt_orbax if str(path).endswith(".orbax")
+                else ckpt_lib.load_ckpt)
         self.params, self.grid_state, self.opt_state, self.step = \
-            ckpt_lib.load_ckpt(path, params_template=self.params,
-                               grid_template=self.grid_state,
-                               opt_state_template=self.opt_state)
+            load(path, params_template=self.params,
+                 grid_template=self.grid_state,
+                 opt_state_template=self.opt_state)

@@ -3,6 +3,7 @@ analytic scene and require a real PSNR gain (SURVEY.md §4 test strategy (c)).""
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 import pytest
 
 from arnerf_tpu.models import NGPConfig
@@ -64,3 +65,28 @@ def test_checkpoint_roundtrip(tmp_path):
     # resumed training proceeds
     m = trainer2.train_step()
     assert np.isfinite(float(m["loss"]))
+
+
+def test_orbax_ckpt_roundtrip(tmp_path):
+    """Orbax backend saves/restores the same artifact set as npz
+    (SURVEY §5: orbax checkpointing with the reference's artifact set)."""
+    pytest.importorskip("orbax.checkpoint")
+    from arnerf_tpu.training.ckpt import save_ckpt_orbax, load_ckpt_orbax
+    from arnerf_tpu.models import NGPConfig, ngp_init, grid_state_init
+    import optax
+    cfg = NGPConfig(scale=0.5, grid_size=16, n_levels=2,
+                    log2_hashmap_size=8, base_resolution=4)
+    params = ngp_init(jax.random.PRNGKey(0), cfg)
+    gs = grid_state_init(cfg)
+    tx = optax.adam(1e-2)
+    opt = tx.init(params)
+    p = str(tmp_path / "ck.orbax")
+    save_ckpt_orbax(p, params=params, grid_state=gs, opt_state=opt, step=7)
+    zero = jax.tree.map(jnp.zeros_like, params)
+    p2, g2, o2, step = load_ckpt_orbax(p, params_template=zero,
+                                       grid_template=gs,
+                                       opt_state_template=opt)
+    assert step == 7
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert jax.tree.structure(opt) == jax.tree.structure(o2)
