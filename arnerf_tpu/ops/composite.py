@@ -76,7 +76,14 @@ def composite_test_step(sigmas, rgbs, deltas, ts, n_eff, opacity, depth, rgb,
     where the running transmittance is reconstructed as T = 1 - opacity.
 
     Returns (opacity, depth, rgb, alive) with alive=False once a ray's
-    transmittance drops to or below T_threshold or it produced no samples.
+    transmittance drops to or below T_threshold. NOTE the reference also
+    kills rays whose round produced no samples (volumerendering.cu:221-224)
+    — valid there because its marching kernel scans unboundedly to t2, so
+    n_eff==0 means the ray is exhausted. Our marching scans a fixed
+    candidate window per round, where n_eff==0 can simply mean "this
+    window's stretch was empty"; ray exhaustion is the render loop's
+    t_cur >= t2 check instead (the march cursor parks beyond t2 when the
+    scan passes it).
     """
     N, S = sigmas.shape
     smask = (jnp.arange(S, dtype=jnp.int32)[None, :] < n_eff[:, None])
@@ -91,5 +98,5 @@ def composite_test_step(sigmas, rgbs, deltas, ts, n_eff, opacity, depth, rgb,
     opacity = opacity + jnp.sum(w, axis=1)
     depth = depth + jnp.sum(w * ts, axis=1)
     rgb = rgb + jnp.sum(w[..., None] * rgbs, axis=1)
-    alive = ((1.0 - opacity) > T_threshold) & (n_eff > 0)
+    alive = (1.0 - opacity) > T_threshold
     return opacity, depth, rgb, alive

@@ -166,3 +166,32 @@ def test_render_test_fast_matches_slow():
                                np.asarray(slow["rgb"]), atol=1e-4)
     np.testing.assert_allclose(np.asarray(fast["depth"]),
                                np.asarray(slow["depth"]), atol=1e-4)
+
+
+def test_render_survives_empty_marching_windows():
+    """Rays must NOT die when a marching round's candidate window is empty
+    (geometry further along the ray than one window). The reference kills
+    n_eff==0 rays because its scan is unbounded (volumerendering.cu:221);
+    with windowed marching that rule dropped whole objects (regression:
+    deep-integration val PSNR 15 dB vs 37 dB)."""
+    from arnerf_tpu.models import NGPConfig, ngp_init, grid_state_init
+    from arnerf_tpu.rendering import render_test_chunk
+    cfg = NGPConfig(scale=0.5, grid_size=32, n_levels=4,
+                    log2_hashmap_size=12, base_resolution=4)
+    params = ngp_init(jax.random.PRNGKey(0), cfg)
+    gs = grid_state_init(cfg)
+    # occupy ONLY a far slab x in (0.3, 0.5): entering rays cross ~0.8 of
+    # empty space first — several 64-candidate windows with n_eff == 0
+    G = cfg.grid_size
+    occ = np.zeros((G, G, G), np.uint8)
+    occ[int(0.8 * G):, :, :] = 1
+    gs = gs._replace(occ_flat=jnp.asarray(occ.reshape(-1)))
+    n = 8
+    rays_o = jnp.tile(jnp.asarray([[-0.49, 0.0, 0.0]]), (n, 1))
+    rays_d = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]), (n, 1))
+    out = render_test_chunk(params, gs, rays_o, rays_d, cfg,
+                            max_samples=256, n_candidates=64,
+                            samples_per_round=16)
+    assert int(out["total_samples"]) > 0, \
+        "rays died before reaching the far slab"
+    assert float(jnp.max(out["opacity"])) > 0.0

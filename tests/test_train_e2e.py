@@ -38,10 +38,8 @@ def test_train_converges_on_synthetic_scene():
             psnrs.append(float(m["psnr"]))
     # training PSNR must climb decisively above the "predict the mean" floor
     assert psnrs[-1] > 19.0, psnrs
-    # validate at the GUI/eval integration settings (T 1e-2, 96 samples):
-    # stable against the floaters a 600-step run hasn't pruned yet
-    val = trainer.validate(max_images=1, compute_ssim=True,
-                           T_threshold=1e-2, max_samples=96)
+    # full-quality validation (default deep integration settings)
+    val = trainer.validate(max_images=1, compute_ssim=True)
     assert val["psnr"] > 17.0, val
     assert val["ssim"] > 0.5, val
 
