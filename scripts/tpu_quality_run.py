@@ -42,6 +42,10 @@ def main():
     tc = TrainConfig(batch_size=8192, lr=1e-2, num_epochs=30,
                      loss=NeRFLossConfig(grid_scale=0.5))
     tr = NeRFTrainer(cfg, tc, train_ds, test_ds, key=jax.random.PRNGKey(0))
+    ckpt = "/tmp/quality_run_ckpt.npz"
+    if os.path.exists(ckpt):
+        tr.load(ckpt)
+        print(f"resumed from {ckpt} at step {tr.step}", flush=True)
     tr.on_train_start()
     t0 = time.time()
     while tr.step < steps:
