@@ -32,7 +32,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .stepping import calc_dt, lattice_t, mip_from_pos, mip_from_dt
+from .stepping import SQRT3, calc_dt, lattice_t, mip_from_pos, mip_from_dt
 
 
 def pl_cdiv(a: int, b: int) -> int:
@@ -96,20 +96,47 @@ def occupancy_lookup(occ_flat, pos, dt, *, scale: float, cascades: int,
 COARSE_FACTOR = 8   # coarse supercell = 8^3 fine occupancy cells
 
 
-def build_coarse_occupancy(occ_flat, cascades: int, grid_size: int):
+def coarse_dilation_radius(*, scale: float, exp_step_factor: float,
+                           grid_size: int, max_samples: int,
+                           dt_scale: float = None) -> int:
+    """Exact dilation radius (in supercells) so that a lattice segment
+    classified by its START position can never miss occupancy its F-1
+    forward fine steps would hit.
+
+    A fine candidate lies at most (F-1)*dt_worst along the ray from the
+    tested sample; a point that far can sit at most floor(d/s)+1 supercell
+    indices away (s = supercell world size). dt is clamped to
+    [dt_min, dt_max] with hi precedence (reference raymarching.cu:11-13),
+    so dt_worst = dt_max when exponential stepping is on, else
+    min(dt_min, dt_max)."""
+    import math
+    step_scale = scale if dt_scale is None else dt_scale
+    dt_min = SQRT3 / max_samples
+    dt_max = SQRT3 * 2 * step_scale / grid_size
+    worst = dt_max if exp_step_factor > 0 else min(dt_min, dt_max)
+    d = (COARSE_FACTOR - 1) * worst
+    s = 2.0 * min(0.5, scale) / (grid_size // COARSE_FACTOR)
+    return int(math.floor(d / s)) + 1
+
+
+def build_coarse_occupancy(occ_flat, cascades: int, grid_size: int,
+                           dilate: int = 2):
     """Dilated max-pool of the occupancy grid: (C*G^3,) -> (C*(G/8)^3,).
 
-    Supercell j is 1 iff ANY fine cell within one supercell of j is occupied
-    (5^3 max filter after pooling), so a lattice segment classified by its
-    start position can never miss occupancy that its fine steps would hit
-    (segment span < 2 supercells for the clamped dt range)."""
+    Supercell j is 1 iff ANY fine cell within `dilate` supercells of j is
+    occupied ((2*dilate+1)^3 max filter after pooling), so a lattice
+    segment classified by its start position can never miss occupancy its
+    fine steps would hit — provided dilate >= coarse_dilation_radius(...)
+    for the marching parameters in use. Smaller radii keep the coarse grid
+    sparser (better pruning); the renderers compute the exact radius."""
     G = grid_size
     CG = G // COARSE_FACTOR
+    w = 2 * dilate + 1
     occ = occ_flat.reshape(cascades, CG, COARSE_FACTOR, CG, COARSE_FACTOR,
                            CG, COARSE_FACTOR)
     coarse = occ.max(axis=(2, 4, 6)).astype(jnp.float32)       # (C, CG^3)
     coarse = jax.lax.reduce_window(
-        coarse, -jnp.inf, jax.lax.max, (1, 5, 5, 5), (1, 1, 1, 1), "SAME")
+        coarse, -jnp.inf, jax.lax.max, (1, w, w, w), (1, 1, 1, 1), "SAME")
     return (coarse > 0).astype(jnp.uint8).reshape(-1)
 
 

@@ -64,9 +64,13 @@ def render_train(params, grid_state, rays_o, rays_d, key, cfg: NGPConfig, *,
     if seg_cap > 0 and cfg.cascades == 1:
         # coarse supercell pre-pass (derived on the fly: cheap, and keeps
         # GridState/checkpoints free of derived fields)
-        from .ops.marching import build_coarse_occupancy
-        occ_coarse = build_coarse_occupancy(grid_state.occ_flat,
-                                            cfg.cascades, cfg.grid_size)
+        from .ops.marching import build_coarse_occupancy, \
+            coarse_dilation_radius
+        occ_coarse = build_coarse_occupancy(
+            grid_state.occ_flat, cfg.cascades, cfg.grid_size,
+            dilate=coarse_dilation_radius(
+                scale=cfg.scale, exp_step_factor=exp_step_factor,
+                grid_size=cfg.grid_size, max_samples=max_samples))
     mr = march_rays_train(
         rays_o, rays_d, hits, grid_state.occ_flat, noise,
         scale=cfg.scale, cascades=cfg.cascades,
@@ -133,9 +137,14 @@ def render_test_chunk(params, grid_state, rays_o, rays_d, cfg: NGPConfig, *,
 
     occ_coarse = None
     if cfg.cascades == 1:
-        from .ops.marching import build_coarse_occupancy
-        occ_coarse = build_coarse_occupancy(grid_state.occ_flat,
-                                            cfg.cascades, cfg.grid_size)
+        from .ops.marching import build_coarse_occupancy, \
+            coarse_dilation_radius
+        occ_coarse = build_coarse_occupancy(
+            grid_state.occ_flat, cfg.cascades, cfg.grid_size,
+            dilate=coarse_dilation_radius(
+                scale=cfg.scale, exp_step_factor=exp_step_factor,
+                grid_size=cfg.grid_size, max_samples=max_samples,
+                dt_scale=dt_scale))
 
     min_samples = 1 if exp_step_factor == 0 else 4  # reference parity
 
@@ -250,9 +259,14 @@ def render_test_chunk_host(params, grid_state, rays_o, rays_d,
     t2 = hits[:, 1]
     occ_coarse = None
     if cfg.cascades == 1:
-        from .ops.marching import build_coarse_occupancy
-        occ_coarse = build_coarse_occupancy(grid_state.occ_flat,
-                                            cfg.cascades, cfg.grid_size)
+        from .ops.marching import build_coarse_occupancy, \
+            coarse_dilation_radius
+        occ_coarse = build_coarse_occupancy(
+            grid_state.occ_flat, cfg.cascades, cfg.grid_size,
+            dilate=coarse_dilation_radius(
+                scale=cfg.scale, exp_step_factor=exp_step_factor,
+                grid_size=cfg.grid_size, max_samples=max_samples,
+                dt_scale=dt_scale))
     if init_state is None:
         t_cur = hits[:, 0]
         alive = t_cur >= 0

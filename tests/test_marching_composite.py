@@ -509,3 +509,72 @@ def test_march_test_dt_scale_quirk():
     a0 = march_rays_test(ro, rd, t0, t2, occ, **kw0)
     b0 = march_rays_test(ro, rd, t0, t2, occ, dt_scale=float(C), **kw0)
     assert jnp.array_equal(a0[1], b0[1]) and jnp.array_equal(a0[2], b0[2])
+
+
+def test_coarse_dilation_radius_values():
+    from arnerf_tpu.ops.marching import coarse_dilation_radius
+    # deep integration, scale 0.5: dt = sqrt(3)/1024 -> tiny span -> r=1
+    assert coarse_dilation_radius(scale=0.5, exp_step_factor=0.0,
+                                  grid_size=128, max_samples=1024) == 1
+    # GUI settings with the reference dt quirk (dt_scale=cascades=1):
+    # dt = sqrt(3)/96 -> span 2.02 supercells -> r=3 (a fixed r=2 would
+    # have allowed rare misses)
+    assert coarse_dilation_radius(scale=0.5, exp_step_factor=0.0,
+                                  grid_size=128, max_samples=96,
+                                  dt_scale=1.0) == 3
+    # exponential stepping: worst dt is the dt_max cap
+    assert coarse_dilation_radius(scale=0.5, exp_step_factor=1 / 256,
+                                  grid_size=128, max_samples=1024) >= 2
+
+
+def test_march_test_two_level_exact_at_gui_settings():
+    """Two-level marching must equal single-level at the GUI integration
+    settings (max_samples=96 + dt quirk), where the segment span slightly
+    exceeds 2 supercells and the dilation radius must grow to 3."""
+    from arnerf_tpu.ops.marching import (march_rays_test,
+                                         build_coarse_occupancy,
+                                         coarse_dilation_radius)
+    G = 128
+    rng = np.random.default_rng(3)
+    occ3 = (rng.random((G, G, G)) < 0.003).astype(np.uint8)
+    occ = jnp.asarray(occ3.reshape(-1))
+    r = coarse_dilation_radius(scale=0.5, exp_step_factor=0.0, grid_size=G,
+                               max_samples=96, dt_scale=1.0)
+    oc = build_coarse_occupancy(occ, 1, G, dilate=r)
+    n = 128
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    ro = jnp.asarray(-0.49 * d, jnp.float32)
+    rd = jnp.asarray(d, jnp.float32)
+    t_cur = jnp.full((n,), 0.01)
+    t2 = jnp.full((n,), 1.0)
+    kw = dict(scale=0.5, cascades=1, exp_step_factor=0.0, grid_size=G,
+              max_samples=96, n_candidates=256, n_samples=16,
+              dt_scale=1.0)
+    ta, tb = t_cur, t_cur
+    for _ in range(6):
+        a = march_rays_test(ro, rd, ta, t2, occ, **kw)
+        b = march_rays_test(ro, rd, tb, t2, occ, occ_coarse=oc, **kw)
+        sa = [np.asarray(a[2])[i, :int(a[3][i])] for i in range(n)]
+        sb = [np.asarray(b[2])[i, :int(b[3][i])] for i in range(n)]
+        flat_a = np.concatenate(sa) if sa else np.zeros(0)
+        # order-insensitive over the loop: accumulate and compare at end
+        ta, tb = a[4], b[4]
+    # after the full loop both cursors and consumed totals must agree on
+    # coverage: re-march from scratch accumulating everything
+    def consume_all(use_coarse):
+        tc = t_cur
+        out = [[] for _ in range(n)]
+        for _ in range(10):
+            res = march_rays_test(ro, rd, tc, t2, occ,
+                                  occ_coarse=oc if use_coarse else None,
+                                  **kw)
+            ts, ne = np.asarray(res[2]), np.asarray(res[3])
+            for i in range(n):
+                out[i].extend(ts[i, :ne[i]].tolist())
+            tc = res[4]
+        return out
+    A, B = consume_all(False), consume_all(True)
+    for i in range(n):
+        assert len(A[i]) == len(B[i]) and np.allclose(A[i], B[i]), \
+            (i, len(A[i]), len(B[i]))
