@@ -336,11 +336,15 @@ def march_rays_test(rays_o, rays_d, t_cur, t2, occ_flat, *,
         ks = ks.reshape(N, seg_cap * F)
         slot_mask = jnp.repeat(slot_ok, F, axis=1)
         Kf = seg_cap * F
-        # when truncated, only the candidates up to the last selected
-        # segment's end have been scanned
-        last_sel = jnp.take_along_axis(
-            sel_j, jnp.maximum(nseg[:, None] - 1, 0), axis=1)[:, 0]
-        scan_end_k = jnp.where(truncated, last_sel * F + (F - 1), K - 1)
+        # when truncated, everything before the (seg_cap+1)-th occupied
+        # segment has been covered: the selected segments were fine-scanned
+        # and the rest are coarse-empty (dilated superset => truly empty),
+        # so the cursor may skip past them too
+        rows1 = jnp.arange(N, dtype=jnp.int32)
+        over = _lower_bound_rows(c1.reshape(-1), rows1,
+                                 jnp.full((N,), seg_cap + 1, jnp.int32), K1)
+        over = jnp.minimum(over, K1 - 1)
+        scan_end_k = jnp.where(truncated, over * F - 1, K - 1)
     else:
         ks = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :],
                               (N, K))

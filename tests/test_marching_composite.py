@@ -578,3 +578,50 @@ def test_march_test_two_level_exact_at_gui_settings():
     for i in range(n):
         assert len(A[i]) == len(B[i]) and np.allclose(A[i], B[i]), \
             (i, len(A[i]), len(B[i]))
+
+
+def test_march_test_two_level_truncation_exact():
+    """seg_cap truncation (more occupied segments per window than seg_cap)
+    must still yield exactly the single-level sample stream over the full
+    loop — the cursor may skip trailing coarse-empty segments but never an
+    occupied one."""
+    from arnerf_tpu.ops.marching import (march_rays_test,
+                                         build_coarse_occupancy,
+                                         coarse_dilation_radius)
+    G = 128
+    rng = np.random.default_rng(11)
+    occ3 = (rng.random((G, G, G)) < 0.15).astype(np.uint8)  # dense
+    occ = jnp.asarray(occ3.reshape(-1))
+    r = coarse_dilation_radius(scale=0.5, exp_step_factor=0.0, grid_size=G,
+                               max_samples=512)
+    oc = build_coarse_occupancy(occ, 1, G, dilate=r)
+    n = 64
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    ro = jnp.asarray(-0.49 * d, jnp.float32)
+    rd = jnp.asarray(d, jnp.float32)
+    t_cur = jnp.full((n,), 0.01)
+    t2 = jnp.full((n,), 1.0)
+    kw = dict(scale=0.5, cascades=1, exp_step_factor=0.0, grid_size=G,
+              max_samples=512, n_candidates=256, n_samples=8, seg_cap=4)
+
+    def consume_all(use_coarse):
+        tc = t_cur
+        out = [[] for _ in range(n)]
+        for _ in range(64):
+            res = march_rays_test(ro, rd, tc, t2, occ,
+                                  occ_coarse=oc if use_coarse else None,
+                                  **kw)
+            ts, ne = np.asarray(res[2]), np.asarray(res[3])
+            for i in range(n):
+                out[i].extend(ts[i, :ne[i]].tolist())
+            tc = res[4]
+        return out
+
+    A, B = consume_all(False), consume_all(True)
+    for i in range(n):
+        m = min(len(A[i]), len(B[i]))
+        assert np.allclose(A[i][:m], B[i][:m]), i
+        # two-level may lag in rounds (smaller per-round advance) but the
+        # consumed prefix must be identical and nothing may be skipped
+        assert len(B[i]) <= len(A[i])
