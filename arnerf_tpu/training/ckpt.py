@@ -43,7 +43,10 @@ def save_ckpt(path, *, params, grid_state=None, opt_state=None, step=0,
             pickle.dumps(treedef), dtype=np.uint8)
     if extra:
         blobs.update(_flatten(extra, "extra/"))
-    np.savez(path, **blobs)
+    # atomic write: a kill mid-save must never corrupt an existing ckpt
+    tmp = f"{path}.tmp.npz"
+    np.savez(tmp, **blobs)
+    os.replace(tmp, path)
 
 
 def _unflatten_into(template, blobs, prefix):

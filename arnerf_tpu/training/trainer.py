@@ -394,8 +394,13 @@ class NeRFTrainer:
                         and remaining >= self.tc.update_interval:
                     last = self.train_block()
                     blocks_since_snap += 1
+                    # a faulting accelerator can return garbage instead of
+                    # raising: treat a non-finite loss as a failure so the
+                    # snapshot recovery below also covers silent NaNs
+                    if not np.isfinite(float(last["loss"])):
+                        raise FloatingPointError(
+                            f"non-finite loss at step {self.step}")
                     if blocks_since_snap >= snapshot_every_blocks:
-                        jax.block_until_ready(last["loss"])
                         self._host_snapshot()
                         blocks_since_snap = 0
                 else:

@@ -60,7 +60,8 @@ def main():
         except Exception as e:
             print(f"QUALITY step={tr.step} val failed {type(e).__name__}",
                   flush=True)
-        tr.save("/tmp/quality_run_ckpt.npz")
+        if np.isfinite(float(m["psnr"])):
+            tr.save("/tmp/quality_run_ckpt.npz")
     print("DONE", flush=True)
 
 
