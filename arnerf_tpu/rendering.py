@@ -146,7 +146,10 @@ def render_test_chunk(params, grid_state, rays_o, rays_d, cfg: NGPConfig, *,
                 grid_size=cfg.grid_size, max_samples=max_samples,
                 dt_scale=dt_scale))
 
-    min_samples = 1 if exp_step_factor == 0 else 4  # reference parity
+    # NOTE: the reference grows per-round samples as rays die
+    # (min_samples=1 or 4, rendering.py:191-196); fixed shapes make that a
+    # recompile per size, so this renderer keeps samples_per_round constant
+    # and render_test_fast compacts the alive set instead.
 
     def cond(carry):
         t_cur, opacity, depth, rgb, alive, samples_done, rounds, total = carry
