@@ -376,8 +376,13 @@ def render_test_fast(params, grid_state, rays_o, rays_d, cfg: NGPConfig, *,
                  jnp.concatenate([jnp.ones(len(alive_idx), bool),
                                   jnp.zeros(pad, bool)]),
                  jnp.int32(samples_done))
+        # survivors get bigger rounds, like the reference growing N_samples
+        # to 64 as the alive set shrinks (rendering.py:193-196)
+        kw2 = dict(kwargs)
+        kw2["samples_per_round"] = max(kwargs.get("samples_per_round", 32),
+                                       64)
         res2 = render_test_dispatch(params, grid_state, ro, rd, cfg,
-                                    init_state=state, **kwargs)
+                                    init_state=state, **kw2)
         opacity[alive_idx] = np.asarray(res2["opacity"])[:len(alive_idx)]
         depth[alive_idx] = np.asarray(res2["depth"])[:len(alive_idx)]
         rgb[alive_idx] = np.asarray(res2["rgb"])[:len(alive_idx)]
