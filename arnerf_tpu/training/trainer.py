@@ -415,6 +415,9 @@ class NeRFTrainer:
                 if not self._wait_for_device():
                     raise
                 self._restore_snapshot()
+                # don't replay the byte-identical batch: some faults are
+                # data-dependent and would recur deterministically
+                self.key = jax.random.fold_in(self.key, recoveries)
                 print(f"recovered; resuming from step {self.step}",
                       flush=True)
                 continue

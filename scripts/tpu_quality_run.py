@@ -49,7 +49,15 @@ def main():
     tr.on_train_start()
     t0 = time.time()
     while tr.step < steps:
-        m = tr.fit(n_steps=min(480, steps - tr.step), log_every=480)
+        try:
+            m = tr.fit(n_steps=min(480, steps - tr.step), log_every=480)
+        except Exception as e:
+            print(f"fit failed at step {tr.step} ({type(e).__name__}); "
+                  "reloading last good ckpt", flush=True)
+            if os.path.exists(ckpt):
+                tr.load(ckpt)
+            time.sleep(120)
+            continue
         try:
             val = tr.validate(max_images=1, compute_ssim=True,
                               T_threshold=1e-2, max_samples=96)
