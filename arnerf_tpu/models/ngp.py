@@ -245,7 +245,11 @@ def mark_invisible_cells(state: GridState, K, poses, cfg: NGPConfig,
         count = count.reshape(-1)
         too_near = too_near.reshape(-1)
         valid = (count > 0) & (~too_near)
-        return count, jnp.where(valid, 0.0, -1.0)
+        # preserve any already-trained EMA density for visible cells
+        # (identical to the reference's 0-init on a fresh start, but keeps
+        # checkpoint resumes from wiping the grid and re-warming it)
+        prior = jnp.maximum(state.density_grid[c], 0.0)
+        return count, jnp.where(valid, prior, -1.0)
 
     counts, grids = jax.lax.map(per_cascade, jnp.arange(C))
     return state._replace(density_grid=grids, count_grid=counts)

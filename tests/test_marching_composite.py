@@ -625,3 +625,25 @@ def test_march_test_two_level_truncation_exact():
         # two-level may lag in rounds (smaller per-round advance) but the
         # consumed prefix must be identical and nothing may be skipped
         assert len(B[i]) <= len(A[i])
+
+
+def test_mark_invisible_preserves_trained_density():
+    """Re-running visibility marking (e.g. on checkpoint resume) must not
+    wipe the trained EMA density of visible cells."""
+    from arnerf_tpu.models import (NGPConfig, grid_state_init,
+                                   mark_invisible_cells)
+    cfg = NGPConfig(scale=0.5, grid_size=32, n_levels=2,
+                    log2_hashmap_size=8, base_resolution=4)
+    state = grid_state_init(cfg)
+    pose = jnp.asarray([[[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, -1.0]]])
+    K = jnp.asarray([[40.0, 0, 32], [0, 40.0, 32], [0, 0, 1]])
+    s1 = mark_invisible_cells(state, K, pose, cfg, 64, 64)
+    visible = np.asarray(s1.density_grid[0]) >= 0
+    assert visible.any() and (~visible).any()
+    # pretend training filled the grid
+    trained = s1._replace(density_grid=jnp.where(
+        s1.density_grid >= 0, 7.5, s1.density_grid))
+    s2 = mark_invisible_cells(trained, K, pose, cfg, 64, 64)
+    d2 = np.asarray(s2.density_grid[0])
+    assert np.all(d2[visible] == 7.5)
+    assert np.all(d2[~visible] == -1.0)
