@@ -39,7 +39,11 @@ def main():
         np.savez(cache, train_rays=train_ds.rays, test_rays=test_ds.rays)
 
     cfg = NGPConfig(scale=0.5)
-    tc = TrainConfig(batch_size=8192, lr=1e-2, num_epochs=30,
+    # match the cosine LR schedule to the actual step budget: with the CLI
+    # default num_epochs=30 (14400 steps) a shorter run never anneals, so
+    # floaters never prune and val PSNR stalls
+    tc = TrainConfig(batch_size=8192, lr=1e-2,
+                     num_epochs=max(1, steps // 480), steps_per_epoch=480,
                      loss=NeRFLossConfig(grid_scale=0.5))
     tr = NeRFTrainer(cfg, tc, train_ds, test_ds, key=jax.random.PRNGKey(0))
     ckpt = "/tmp/quality_run_ckpt.npz"
