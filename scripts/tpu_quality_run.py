@@ -22,9 +22,14 @@ from arnerf_tpu.datasets.synthetic import SyntheticDataset, SyntheticConfig
 def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 4800
     wh = 256
-    scfg = SyntheticConfig(img_wh=(wh, wh), n_train=24, n_test=2,
+    # n_train=24 leaves view-unconstrained regions that grow floaters and
+    # cap val PSNR around 30; raise (e.g. 64, second arg) for quality runs
+    # where the one-time GT generation cost is acceptable
+    n_train = int(sys.argv[2]) if len(sys.argv) > 2 else 24
+    scfg = SyntheticConfig(img_wh=(wh, wh), n_train=n_train, n_test=2,
                            gt_samples=512)
-    cache = f"/tmp/arnerf_bench_data_{wh}.npz"
+    cache = f"/tmp/arnerf_bench_data_{wh}.npz" if n_train == 24 \
+        else f"/tmp/arnerf_bench_data_{wh}_{n_train}.npz"
     if os.path.exists(cache):
         blob = np.load(cache)
         train_ds = SyntheticDataset(split="train", config=scfg,
