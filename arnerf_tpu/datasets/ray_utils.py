@@ -33,11 +33,17 @@ def get_rays(directions, c2w):
     directions: (N, 3); c2w: (3, 4) or (N, 3, 4).
     reference: datasets/ray_utils.py:46-70.
     """
+    # HIGHEST precision: the TPU MXU's default bf16 contraction injects
+    # ~1.5e-3 absolute error into rays_d (pixel-level camera error vs the
+    # reference's fp32 rays); these (3,4)-pose contractions are tiny so the
+    # fp32 path costs nothing.
     if c2w.ndim == 2:
-        rays_d = directions @ c2w[:, :3].T
+        rays_d = jnp.matmul(directions, c2w[:, :3].T,
+                            precision=jax.lax.Precision.HIGHEST)
         rays_o = jnp.broadcast_to(c2w[:, 3], rays_d.shape)
     else:
-        rays_d = jnp.einsum("nc,nbc->nb", directions, c2w[..., :3])
+        rays_d = jnp.einsum("nc,nbc->nb", directions, c2w[..., :3],
+                            precision=jax.lax.Precision.HIGHEST)
         rays_o = c2w[..., 3]
     return rays_o, rays_d
 
@@ -57,8 +63,9 @@ def axisangle_to_R(v):
     # deltas on the very first step)
     norm = jnp.sqrt(jnp.sum(v * v, axis=1) + 1e-14)[:, None, None]
     eye = jnp.eye(3)[None]
+    skew2 = jnp.matmul(skew, skew, precision=jax.lax.Precision.HIGHEST)
     return (eye + jnp.sin(norm) / norm * skew
-            + (1 - jnp.cos(norm)) / norm ** 2 * (skew @ skew))
+            + (1 - jnp.cos(norm)) / norm ** 2 * skew2)
 
 
 def normalize(v):

@@ -59,6 +59,10 @@ def lattice_t(t1, k, exp_step_factor: float, max_samples: int,
     """
     dt_min = SQRT3 / max_samples
     dt_max = SQRT3 * 2 * scale / grid_size
+    # calc_dt's clip(t*f, dt_min, dt_max) resolves to min(dt_min, dt_max)
+    # whenever dt_min > dt_max (max_samples below ~grid_size/(2*scale)):
+    # use the same effective uniform step so deltas match optical depth.
+    dt_min = min(dt_min, dt_max)
     k = k.astype(jnp.float32)
     if exp_step_factor == 0.0:
         return t1 + k * dt_min
@@ -82,6 +86,7 @@ def num_lattice_steps(t_min: float, t_max: float, exp_step_factor: float,
     """Static K needed so the lattice anchored at any t1 >= t_min covers t_max."""
     dt_min = SQRT3 / max_samples
     dt_max = SQRT3 * 2 * scale / grid_size
+    dt_min = min(dt_min, dt_max)  # same effective step as lattice_t/calc_dt
     if exp_step_factor == 0.0:
         return int(math.ceil((t_max - t_min) / dt_min)) + 1
     f = exp_step_factor

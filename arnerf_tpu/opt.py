@@ -62,6 +62,13 @@ def get_opts(args=None):
     parser.add_argument('--max_pc_pts_num', type=int, default=int(1e6))
     parser.add_argument('--no_global_SH', action='store_true', default=False)
 
+    # TPU extras (the reference hard-codes fp16 autocast, train.py:291;
+    # 'auto' = bfloat16 on accelerator backends, float32 on CPU)
+    parser.add_argument('--compute_dtype', type=str, default='auto',
+                        choices=['auto', 'float32', 'bfloat16'],
+                        help='field-eval dtype: bf16 halves hash-gather '
+                             'bandwidth (fp32 accumulation/Adam)')
+
     # HDR
     parser.add_argument('--train_SH_HDR_mapping', action='store_true',
                         default=False)

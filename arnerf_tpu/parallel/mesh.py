@@ -22,7 +22,24 @@ def make_mesh(n_devices: int = None, axis_name: str = "data") -> Mesh:
 
 
 def maybe_init_distributed():
-    """Multi-host entry (DCN): no-op on single host."""
+    """Multi-host entry (DCN): no-op on single host.
+
+    On managed TPU pods jax.distributed.initialize() auto-detects the
+    coordinator; for manual multi-host launches set
+    JAX_COORDINATOR_ADDRESS (host:port) plus JAX_NUM_PROCESSES and
+    JAX_PROCESS_ID on every process. Replaces the reference's DDP
+    process-group init (reference train.py:286-291 / NCCL).
+    Returns True if distributed mode was initialized."""
     import os
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr:
+        return False
+    n = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    if n is not None and pid is not None:
+        jax.distributed.initialize(coordinator_address=addr,
+                                   num_processes=int(n),
+                                   process_id=int(pid))
+    else:
         jax.distributed.initialize()
+    return True

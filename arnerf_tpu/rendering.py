@@ -300,6 +300,39 @@ def render_test_chunk_host(params, grid_state, rays_o, rays_d,
     return out
 
 
+@partial(jax.jit, static_argnames=(
+    "cfg", "exp_step_factor", "max_samples", "n_candidates", "dt_scale"))
+def first_hit(grid_state_occ, occ_coarse, rays_o, rays_d, hits, cfg:
+              NGPConfig, *, exp_step_factor: float = 0.0,
+              max_samples: int = MAX_SAMPLES, n_candidates: int = 512,
+              dt_scale: float = None):
+    """March-only alive detection: for each ray, whether its marching window
+    contains ANY occupied lattice sample, and the t of the first one.
+
+    This is the cheap pre-pass of the compacted test renderer: it costs only
+    occupancy gathers (no field evaluation), and on object-centric frames it
+    kills the background majority of rays before a single hash-grid gather
+    happens. The reference gets the same effect implicitly from its
+    shrinking alive list (reference rendering.py:191-233); with fixed
+    shapes, killing rays BEFORE the first field-eval round is worth a whole
+    round of wasted evals.
+
+    Returns (alive (N,) bool, t_first (N,) — first occupied sample t,
+    parked > t2 for misses)."""
+    t1, t2 = hits[:, 0], hits[:, 1]
+    ok = t1 >= 0
+    t_cur = jnp.where(ok, t1, t2 + 1.0)
+    xyzs, deltas, ts, n_eff, t_next = march_rays_test(
+        rays_o, rays_d, t_cur, t2, grid_state_occ,
+        scale=cfg.scale, cascades=cfg.cascades,
+        exp_step_factor=exp_step_factor, grid_size=cfg.grid_size,
+        max_samples=max_samples, n_candidates=n_candidates,
+        n_samples=1, occ_coarse=occ_coarse, dt_scale=dt_scale)
+    alive = ok & (n_eff > 0)
+    t_first = jnp.where(alive, ts[:, 0], t2 + 1.0)
+    return alive, t_first
+
+
 _WHILE_LOOP_OK = None
 
 
@@ -320,72 +353,140 @@ def render_test_dispatch(*args, **kwargs):
         return render_test_chunk_host(*args, **kwargs)
 
 
+def _pow2_bucket(n: int, min_bucket: int) -> int:
+    import numpy as np
+    return max(min_bucket, 1 << int(np.ceil(np.log2(max(n, 1)))))
+
+
 def render_test_fast(params, grid_state, rays_o, rays_d, cfg: NGPConfig, *,
                      phase1_rounds: int = 2, chunk: int = 1 << 16,
-                     min_bucket: int = 4096, **kwargs):
-    """Two-phase alive-ray-compacted render (the reference's shrinking
-    alive-list loop, rendering.py:191-233, adapted to fixed shapes).
+                     min_bucket: int = 4096, prehit: bool = True, **kwargs):
+    """Alive-ray-compacted render (the reference's shrinking alive-list
+    loop, rendering.py:191-233, adapted to fixed shapes). Three phases:
 
-    Phase 1 runs a few rounds on every ray — background rays and
-    quickly-saturating rays die here. The survivors are gathered (one host
-    sync), padded to a power-of-two bucket, and finished in phase 2 on the
-    much smaller buffer. Typical synthetic scenes keep <25% of rays after
-    two rounds, cutting per-frame field evaluations ~3-4x.
+    0. `first_hit` pre-pass (occupancy gathers only, no field eval) kills
+       every ray whose marching window holds no occupied cell — on
+       object-centric frames that's the background majority, gone before a
+       single hash-grid gather.
+    1. A few full rounds on the compacted survivors (power-of-two bucket);
+       quickly-saturating rays die here.
+    2. The remaining survivors are compacted again and finished with bigger
+       rounds (the reference grows N_samples as rays die,
+       rendering.py:193-196).
     """
     import numpy as np
     N = rays_o.shape[0]
-    chunk = min(chunk, N)
-    states = []
-    outs = {"opacity": [], "depth": [], "rgb": []}
+    exp_step_factor = kwargs.get("exp_step_factor", 0.0)
+    max_samples = kwargs.get("max_samples", MAX_SAMPLES)
+    dt_scale = kwargs.get("dt_scale")
+
+    opacity = np.zeros(N, np.float32)
+    depth = np.zeros(N, np.float32)
+    rgb = np.zeros((N, 3), np.float32)
     total = 0
-    for i in range(0, N, chunk):
-        ro, rd = rays_o[i:i + chunk], rays_d[i:i + chunk]
+
+    # ---- phase 0: march-only alive detection + first compaction -----------
+    if prehit:
+        hits = scene_hits(rays_o, rays_d, cfg)
+        occ_coarse = None
+        if cfg.cascades == 1:
+            from .ops.marching import build_coarse_occupancy, \
+                coarse_dilation_radius
+            occ_coarse = build_coarse_occupancy(
+                grid_state.occ_flat, cfg.cascades, cfg.grid_size,
+                dilate=coarse_dilation_radius(
+                    scale=cfg.scale, exp_step_factor=exp_step_factor,
+                    grid_size=cfg.grid_size, max_samples=max_samples,
+                    dt_scale=dt_scale))
+        # the pre-pass must scan the ENTIRE marching window (a caller's
+        # per-round n_candidates may cover only part of the scene diagonal)
+        step_scale = cfg.scale if dt_scale is None else dt_scale
+        diag = 2 * SQRT3 * cfg.scale
+        fh_K = num_lattice_steps(NEAR_DISTANCE, NEAR_DISTANCE + diag,
+                                 exp_step_factor, max_samples,
+                                 cfg.grid_size, step_scale)
+        alive0, t_first = first_hit(
+            grid_state.occ_flat, occ_coarse, rays_o, rays_d, hits, cfg,
+            exp_step_factor=exp_step_factor, max_samples=max_samples,
+            n_candidates=fh_K, dt_scale=dt_scale)
+        idx0 = np.where(np.asarray(alive0))[0]
+        if len(idx0) == 0:
+            return {"opacity": jnp.asarray(opacity),
+                    "depth": jnp.asarray(depth), "rgb": jnp.asarray(rgb),
+                    "total_samples": 0}
+        rays_o_np, rays_d_np = np.asarray(rays_o), np.asarray(rays_d)
+        t_first_np = np.asarray(t_first)
+        sub_o, sub_d = rays_o_np[idx0], rays_d_np[idx0]
+        sub_t = t_first_np[idx0]
+    else:
+        idx0 = np.arange(N)
+        rays_o_np, rays_d_np = np.asarray(rays_o), np.asarray(rays_d)
+        sub_o, sub_d = rays_o_np, rays_d_np
+        sub_t = None
+
+    # ---- phase 1: a few rounds on the survivors ----------------------------
+    M = len(idx0)
+    chunk1 = min(chunk, _pow2_bucket(M, min_bucket))
+    states = []
+    for i in range(0, M, chunk1):
+        ro, rd = sub_o[i:i + chunk1], sub_d[i:i + chunk1]
         n = ro.shape[0]
-        if n < chunk:
-            ro = jnp.concatenate([ro, jnp.zeros((chunk - n, 3))])
-            rd = jnp.concatenate([rd, jnp.ones((chunk - n, 3))])
+        pad = chunk1 - n
+        ro = jnp.asarray(np.concatenate([ro, np.zeros((pad, 3), ro.dtype)]))
+        rd = jnp.asarray(np.concatenate([rd, np.ones((pad, 3), rd.dtype)]))
+        init_state = None
+        if sub_t is not None:
+            tc = np.concatenate([sub_t[i:i + chunk1],
+                                 np.full(pad, 1e9, np.float32)])
+            init_state = (jnp.asarray(tc), jnp.zeros(chunk1),
+                          jnp.zeros(chunk1), jnp.zeros((chunk1, 3)),
+                          jnp.concatenate([jnp.ones(n, bool),
+                                           jnp.zeros(pad, bool)]),
+                          jnp.int32(0))
         res = render_test_dispatch(params, grid_state, ro, rd, cfg,
                                    max_rounds=phase1_rounds,
-                                   return_state=True, **kwargs)
+                                   return_state=True, init_state=init_state,
+                                   **kwargs)
         st = res["state"]
         states.append([np.asarray(s) for s in st[:5]] + [int(st[5])])
         total += int(res["total_samples"])
-    t_cur = np.concatenate([s[0] for s in states])[:N]
-    opacity = np.concatenate([s[1] for s in states])[:N]
-    depth = np.concatenate([s[2] for s in states])[:N]
-    rgb = np.concatenate([s[3] for s in states])[:N]
-    alive = np.concatenate([s[4] for s in states])[:N]
+    t_cur = np.concatenate([s[0] for s in states])[:M]
+    opacity[idx0] = np.concatenate([s[1] for s in states])[:M]
+    depth[idx0] = np.concatenate([s[2] for s in states])[:M]
+    rgb[idx0] = np.concatenate([s[3] for s in states])[:M]
+    alive = np.concatenate([s[4] for s in states])[:M]
     samples_done = max(s[5] for s in states)
 
-    alive_idx = np.where(alive)[0]
+    # ---- phase 2: second compaction, bigger rounds to the end --------------
+    alive_idx = np.where(alive)[0]          # indices into the phase-1 subset
     if len(alive_idx):
-        bucket = max(min_bucket, 1 << int(np.ceil(np.log2(len(alive_idx)))))
+        bucket = _pow2_bucket(len(alive_idx), min_bucket)
         pad = bucket - len(alive_idx)
-        ro = jnp.concatenate([jnp.asarray(np.asarray(rays_o)[alive_idx]),
+        full_idx = idx0[alive_idx]          # indices into the original rays
+        ro = jnp.concatenate([jnp.asarray(rays_o_np[full_idx]),
                               jnp.zeros((pad, 3))])
-        rd = jnp.concatenate([jnp.asarray(np.asarray(rays_d)[alive_idx]),
+        rd = jnp.concatenate([jnp.asarray(rays_d_np[full_idx]),
                               jnp.ones((pad, 3))])
 
         def gpad(x, fill=0.0):
-            g = x[alive_idx]
+            g = np.asarray(x)[alive_idx]
             shape = (pad,) + g.shape[1:]
             return jnp.concatenate([jnp.asarray(g),
                                     jnp.full(shape, fill, g.dtype)])
 
-        state = (gpad(t_cur, 1e9), gpad(opacity), gpad(depth), gpad(rgb),
+        state = (gpad(t_cur, 1e9), gpad(opacity[idx0]), gpad(depth[idx0]),
+                 gpad(rgb[idx0]),
                  jnp.concatenate([jnp.ones(len(alive_idx), bool),
                                   jnp.zeros(pad, bool)]),
                  jnp.int32(samples_done))
-        # survivors get bigger rounds, like the reference growing N_samples
-        # to 64 as the alive set shrinks (rendering.py:193-196)
         kw2 = dict(kwargs)
         kw2["samples_per_round"] = max(kwargs.get("samples_per_round", 32),
                                        64)
         res2 = render_test_dispatch(params, grid_state, ro, rd, cfg,
                                     init_state=state, **kw2)
-        opacity[alive_idx] = np.asarray(res2["opacity"])[:len(alive_idx)]
-        depth[alive_idx] = np.asarray(res2["depth"])[:len(alive_idx)]
-        rgb[alive_idx] = np.asarray(res2["rgb"])[:len(alive_idx)]
+        opacity[full_idx] = np.asarray(res2["opacity"])[:len(alive_idx)]
+        depth[full_idx] = np.asarray(res2["depth"])[:len(alive_idx)]
+        rgb[full_idx] = np.asarray(res2["rgb"])[:len(alive_idx)]
         total += int(res2["total_samples"])
 
     return {"opacity": jnp.asarray(opacity), "depth": jnp.asarray(depth),

@@ -6,7 +6,6 @@ model weights only, grid/optimizer state dropped (utils.py:29-39).
 """
 
 import os
-import pickle
 
 import numpy as np
 import jax
@@ -36,11 +35,13 @@ def save_ckpt(path, *, params, grid_state=None, opt_state=None, step=0,
     if grid_state is not None:
         blobs.update(_flatten(grid_state._asdict(), "grid/"))
     if opt_state is not None:
-        leaves, treedef = jax.tree.flatten(opt_state)
+        # leaves only — the treedef is reconstructed from the loader's
+        # opt_state_template (persisting a pickled treedef would make
+        # loading an untrusted checkpoint arbitrary code execution)
+        leaves = jax.tree.leaves(opt_state)
+        blobs["opt_n_leaves"] = np.asarray(len(leaves))
         for i, leaf in enumerate(leaves):
             blobs[f"opt/{i}"] = np.asarray(leaf)
-        blobs["opt_treedef"] = np.frombuffer(
-            pickle.dumps(treedef), dtype=np.uint8)
     if extra:
         blobs.update(_flatten(extra, "extra/"))
     # atomic write: a kill mid-save must never corrupt an existing ckpt
@@ -76,10 +77,14 @@ def load_ckpt(path, *, params_template, grid_template=None,
         gd = _unflatten_into(grid_template._asdict(), blobs, "grid/")
         grid_state = type(grid_template)(**gd)
     opt_state = opt_state_template
-    if opt_state_template is not None and "opt_treedef" in blobs:
-        treedef = pickle.loads(blobs["opt_treedef"].tobytes())
-        leaves = [jnp.asarray(blobs[f"opt/{i}"])
-                  for i in range(treedef.num_leaves)]
+    if opt_state_template is not None and "opt/0" in blobs:
+        tleaves, treedef = jax.tree.flatten(opt_state_template)
+        n = int(blobs.get("opt_n_leaves", len(tleaves)))
+        if n != len(tleaves):
+            raise ValueError(
+                f"checkpoint optimizer state has {n} leaves but the "
+                f"template has {len(tleaves)} — optimizer config mismatch")
+        leaves = [jnp.asarray(blobs[f"opt/{i}"]) for i in range(n)]
         opt_state = jax.tree.unflatten(treedef, leaves)
     step = int(blobs.get("step", 0))
     return params, grid_state, opt_state, step
@@ -115,10 +120,9 @@ def save_ckpt_orbax(path, *, params, grid_state=None, opt_state=None,
     if grid_state is not None:
         tree["grid"] = dict(grid_state._asdict())
     if opt_state is not None:
-        leaves, treedef = jax.tree.flatten(opt_state)
+        # leaves only; treedef comes from the loader's template (no pickle)
+        leaves = jax.tree.leaves(opt_state)
         tree["opt"] = {str(i): leaf for i, leaf in enumerate(leaves)}
-        tree["opt_treedef"] = jnp.asarray(
-            np.frombuffer(pickle.dumps(treedef), dtype=np.uint8))
     path = os.path.abspath(path)
     if os.path.exists(path):
         import shutil
@@ -141,10 +145,13 @@ def load_ckpt_orbax(path, *, params_template, grid_template=None,
         grid_state = type(grid_template)(**{
             **grid_template._asdict(), **gd})
     opt_state = opt_state_template
-    if opt_state_template is not None and "opt_treedef" in tree:
-        treedef = pickle.loads(
-            np.asarray(tree["opt_treedef"], dtype=np.uint8).tobytes())
+    if opt_state_template is not None and "opt" in tree:
+        tleaves, treedef = jax.tree.flatten(opt_state_template)
+        if len(tree["opt"]) != len(tleaves):
+            raise ValueError(
+                f"checkpoint optimizer state has {len(tree['opt'])} leaves "
+                f"but the template has {len(tleaves)}")
         leaves = [jnp.asarray(tree["opt"][str(i)])
-                  for i in range(treedef.num_leaves)]
+                  for i in range(len(tleaves))]
         opt_state = jax.tree.unflatten(treedef, leaves)
     return params, grid_state, opt_state, int(tree.get("step", 0))

@@ -53,8 +53,13 @@ _LPIPS = None
 
 
 def lpips(pred, gt):
-    """LPIPS(vgg) via torch-cpu torchmetrics if importable, else None.
-    pred, gt: (H, W, 3) numpy in [0, 1]."""
+    """LPIPS(vgg). pred, gt: (H, W, 3) numpy in [0, 1].
+
+    Resolution order: torchmetrics' pretrained metric if importable
+    (matches the reference's numbers exactly); otherwise the in-repo JAX
+    implementation (training/lpips.py — the official net if vendored
+    weights exist, else the documented random-feature surrogate).
+    Always returns a number in this image."""
     global _LPIPS
     try:
         if _LPIPS is None:
@@ -63,7 +68,9 @@ def lpips(pred, gt):
                 LearnedPerceptualImagePatchSimilarity
             _LPIPS = LearnedPerceptualImagePatchSimilarity("vgg")
     except Exception:
-        return None
+        from .lpips import lpips_jax
+        v, _trained = lpips_jax(pred, gt)
+        return v
     import torch
     to_t = lambda x: torch.from_numpy(
         np.asarray(x, np.float32)).permute(2, 0, 1)[None] * 2 - 1

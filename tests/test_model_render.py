@@ -195,3 +195,44 @@ def test_render_survives_empty_marching_windows():
     assert int(out["total_samples"]) > 0, \
         "rays died before reaching the far slab"
     assert float(jnp.max(out["opacity"])) > 0.0
+
+
+def test_render_fast_prehit_covers_far_geometry():
+    """The first-hit pre-pass must scan the WHOLE marching window, even when
+    the per-round n_candidates covers only part of the scene — a ray whose
+    first occupied cell lies beyond one round's window must not be killed
+    at phase 0 (rendering.py first_hit/render_test_fast)."""
+    cfg = NGPConfig(scale=0.5, grid_size=32, n_levels=4,
+                    log2_hashmap_size=12, base_resolution=4)
+    params = ngp_init(jax.random.PRNGKey(0), cfg)
+    gs = grid_state_init(cfg)
+    G = cfg.grid_size
+    occ = np.zeros((G, G, G), np.uint8)
+    occ[int(0.8 * G):, :, :] = 1          # far slab only
+    gs = gs._replace(occ_flat=jnp.asarray(occ.reshape(-1)))
+    n = 8
+    rays_o = jnp.tile(jnp.asarray([[-0.49, 0.0, 0.0]]), (n, 1))
+    rays_d = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]), (n, 1))
+    kw = dict(n_candidates=32, samples_per_round=8, max_samples=256)
+    slow = render_test(params, gs, rays_o, rays_d, cfg, chunk=n, **kw)
+    fast = render_test(params, gs, rays_o, rays_d, cfg, chunk=n, fast=True,
+                       min_bucket=8, **kw)
+    assert float(jnp.max(slow["opacity"])) > 0.0
+    np.testing.assert_allclose(np.asarray(fast["opacity"]),
+                               np.asarray(slow["opacity"]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(fast["depth"]),
+                               np.asarray(slow["depth"]), atol=1e-4)
+
+
+def test_render_fast_empty_scene_short_circuits():
+    """All rays killed at the pre-pass: zero field evals, zero output."""
+    cfg = NGPConfig(scale=0.5, grid_size=32, n_levels=4,
+                    log2_hashmap_size=12, base_resolution=4)
+    params = ngp_init(jax.random.PRNGKey(0), cfg)
+    gs = grid_state_init(cfg)  # occupancy all zero
+    rays_o, rays_d = _rays_looking_at_origin(16)
+    out = render_test(params, gs, rays_o, rays_d, cfg, chunk=16, fast=True,
+                      min_bucket=8, n_candidates=64, samples_per_round=8,
+                      max_samples=256)
+    assert int(out["total_samples"]) == 0
+    assert np.allclose(np.asarray(out["opacity"]), 0.0)

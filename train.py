@@ -61,8 +61,14 @@ def main():
 
     rgb_act = 'None' if (hparams.use_exposure or hparams.use_EXR) \
         else 'Sigmoid'
+    # production default: bf16 field eval on accelerators (the reference
+    # trains fp16-autocast, train.py:291); CPU runs stay fp32 (bf16 is
+    # emulated and slow there)
+    cdtype = hparams.compute_dtype
+    if cdtype == 'auto':
+        cdtype = 'float32' if jax.default_backend() == 'cpu' else 'bfloat16'
     cfg = NGPConfig(scale=hparams.scale, rgb_act=rgb_act,
-                    use_raw_hdr=hparams.use_EXR)
+                    use_raw_hdr=hparams.use_EXR, compute_dtype=cdtype)
     tc = TrainConfig(
         batch_size=hparams.batch_size, lr=hparams.lr,
         num_epochs=hparams.num_epochs,
