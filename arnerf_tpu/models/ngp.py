@@ -52,6 +52,10 @@ class NGPConfig:
     # 'bfloat16' halves hash-table gather bandwidth and runs the MLPs on the
     # MXU in bf16 (fp32 accumulation); parameters stay fp32 for Adam
     compute_dtype: str = "float32"
+    # evaluate the sigma+rgb MLP pair as one Pallas kernel with VMEM-resident
+    # weights/activations (tinycudann FullyFusedMLP equivalent,
+    # ops/fused_head.py); False = plain XLA matmuls
+    fused_head: bool = False
 
     @property
     def cdtype(self):
@@ -129,14 +133,29 @@ def ngp_forward(params, x, d, cfg: NGPConfig, exposure=None,
 
     reference: models/networks.py:133-165.
     """
-    sigmas, h = ngp_density(params, x, cfg, return_feat=True)
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True).clip(1e-12)
     d_enc = sh_encode(d)
-    rgb_in = jnp.concatenate([d_enc.astype(cfg.cdtype),
-                              h.astype(cfg.cdtype)], axis=1)
-    act = "sigmoid" if cfg.rgb_act == "Sigmoid" else None
-    rgbs = mlp_apply(params["rgb_mlp"], rgb_in, out_activation=act,
-                     dtype=cfg.cdtype)
+    if cfg.fused_head:
+        # single Pallas program for both MLPs (VMEM-resident weights +
+        # activations); interpret mode keeps CPU tests running the same code
+        from ..ops.fused_head import fused_field_head, \
+            head_weights_from_params
+        xn = (x + cfg.scale) / (2 * cfg.scale)
+        table = params["hash_table"].astype(cfg.cdtype)
+        feats = hashgrid_encode(table, xn, cfg.hash_cfg)
+        h, rgbs = fused_field_head(
+            feats, d_enc, head_weights_from_params(params), cfg.cdtype,
+            jax.default_backend() == "cpu")
+        sigmas = trunc_exp(h[:, 0])
+        if cfg.rgb_act == "Sigmoid":
+            rgbs = jax.nn.sigmoid(rgbs)
+    else:
+        sigmas, h = ngp_density(params, x, cfg, return_feat=True)
+        rgb_in = jnp.concatenate([d_enc.astype(cfg.cdtype),
+                                  h.astype(cfg.cdtype)], axis=1)
+        act = "sigmoid" if cfg.rgb_act == "Sigmoid" else None
+        rgbs = mlp_apply(params["rgb_mlp"], rgb_in, out_activation=act,
+                         dtype=cfg.cdtype)
 
     if cfg.use_raw_hdr:
         # raw-HDR EXR training: leaky relu in training, relu for final output
@@ -298,8 +317,18 @@ def update_density_grid(params, state: GridState, key, cfg: NGPConfig,
                           key=k_jitter)
     sig = _chunked_density(params, cfg, xyz).reshape(idx.shape)  # (C, m)
 
-    tmp = jnp.zeros((C, G3), jnp.float32)
-    tmp = tmp.at[mips.reshape(-1), idx.reshape(-1)].max(sig.reshape(-1))
+    if warmup:
+        # idx enumerates every cell exactly once: the "scatter" is a reshape
+        tmp = sig.reshape(C, G3)
+    else:
+        # duplicate sampled cells are benign under max (vs the reference's
+        # nondeterministic last-write-wins). TPU scatter is row-serialized
+        # (~90ns/row), so use the sort-based dense segment max instead.
+        from ..ops.segments import dense_segment_max
+        rows = (mips.reshape(-1) * G3 + idx.reshape(-1)).astype(jnp.int32)
+        # sigma >= 0 (TruncExp), so fill=0 matches the zeros-init scatter-max
+        tmp = dense_segment_max(rows, sig.reshape(-1).astype(jnp.float32),
+                                C * G3, fill=0.0).reshape(C, G3)
 
     if erode:
         # decay harder where few cameras see the cell (reference :270-272)

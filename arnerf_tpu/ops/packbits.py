@@ -7,9 +7,13 @@ TPU than gather+bit-extract. The packed uint8 bitfield (8 cells/byte, LSB
 first — the reference's layout) is still produced for checkpoint/API parity.
 """
 
+import numpy as np
 import jax.numpy as jnp
 
-_BIT_WEIGHTS = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], dtype=jnp.uint8)
+# host-side constant: a module-level jnp array would become a leaked tracer
+# if this module is first imported inside an active jit trace (lazy imports
+# in jitted code paths do happen)
+_BIT_WEIGHTS = np.asarray([1, 2, 4, 8, 16, 32, 64, 128], dtype=np.uint8)
 
 
 def packbits(density_grid: jnp.ndarray, density_threshold) -> jnp.ndarray:

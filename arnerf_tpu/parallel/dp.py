@@ -18,9 +18,21 @@ from functools import partial
 import jax
 from jax.sharding import PartitionSpec as P
 try:
-    from jax import shard_map
+    from jax import shard_map as _shard_map
 except ImportError:  # older jax
-    from jax.experimental.shard_map import shard_map
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+
+def shard_map(*args, **kwargs):
+    """shard_map with varying-axes checking off: the hash-grid encode's
+    custom VJP produces a data-varying table cotangent for the replicated
+    table input (each device's partial sums), which the checker rejects.
+    The explicit lax.pmean over grads inside the step performs the join the
+    checker would otherwise insert automatically."""
+    try:
+        return _shard_map(*args, check_vma=False, **kwargs)
+    except TypeError:  # older spelling
+        return _shard_map(*args, check_rep=False, **kwargs)
 
 
 def make_dp_train_step(mesh, train_step_impl, kw):

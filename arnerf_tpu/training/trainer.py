@@ -371,10 +371,13 @@ class NeRFTrainer:
         self.key = jnp.asarray(self._snap_key)
 
     def _wait_for_device(self, max_wait_s=3600, poll_s=60):
+        from ..utils.sync import device_sync
         t0 = time.time()
         while time.time() - t0 < max_wait_s:
             try:
-                jax.block_until_ready(jnp.ones((8, 8)).sum())
+                # host fetch: block_until_ready alone is a no-op through the
+                # remote tunnel, so it cannot prove the device is healthy
+                device_sync(jnp.ones((8, 8)).sum())
                 return True
             except Exception:
                 time.sleep(poll_s)

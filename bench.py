@@ -53,21 +53,46 @@ def main():
 
     dev = jax.devices()[0]
 
-    def device_stream_gbps(iters=3):
-        """Delivered-bandwidth probe: time a big elementwise op."""
-        x = jax.random.normal(jax.random.PRNGKey(0), (1 << 24, 2))
+    def _sync(x):
+        """Force completion of everything `x` depends on via a host fetch of
+        a single scalar. On the axon remote backend `block_until_ready` is a
+        no-op (round-2 finding: a "17.8 TB/s" probe); only a device->host
+        fetch actually drains the queue. Fetching a full array would instead
+        time the ~20 MB/s tunnel, so reduce to one scalar on-device first."""
+        leaf = jax.tree.leaves(x)[0]
+        return float(jnp.max(jnp.abs(leaf)).astype(jnp.float32))
+
+    def device_stream_gbps(iters=4):
+        """Delivered-HBM-bandwidth probe: big elementwise op on a
+        TILE-ALIGNED shape. (Round 1 used (2^24, 2), which XLA pads to 128
+        lanes -> the probe measured 64x-padded traffic + dispatch latency
+        and under-reported delivered bandwidth by ~64x.)"""
+        x = jax.random.normal(jax.random.PRNGKey(0), (1 << 15, 2048))
         f = jax.jit(lambda s: s * 2.0 + 1.0)
-        np.asarray(f(x)).ravel()[:1]
+        _sync(f(x))
         t0 = time.time()
+        out = x
         for _ in range(iters):
-            out = f(x)
-        np.asarray(out).ravel()[:1]
+            out = f(out)
+        _sync(out)
         dt = (time.time() - t0) / iters
         return (x.size * 4 * 2) / dt / 1e9
 
+    def dispatch_latency_ms(iters=10):
+        """Per-dispatch round-trip floor (remote-tunnel overhead): one tiny
+        program + scalar fetch per iteration."""
+        x = jnp.float32(1.0)
+        f = jax.jit(lambda s: s + 1.0)
+        _sync(f(x))
+        t0 = time.time()
+        for _ in range(iters):
+            x = f(x)
+            _sync(x)
+        return (time.time() - t0) / iters * 1e3
+
     wh = _arg("--wh", 256)
     steps = _arg("--steps", 160)
-    hunt_floor = _arg("--hunt_floor", 15.0, float)   # GB/s
+    hunt_floor = _arg("--hunt_floor", 50.0, float)   # GB/s (v5e peak ~819)
     hunt_attempts = _arg("--hunt_attempts", 6)
     hunt_sleep = _arg("--hunt_sleep", 45.0, float)
 
@@ -110,8 +135,10 @@ def main():
     print(f"bench: data ready in {data_s:.1f}s", file=sys.stderr, flush=True)
 
     # flagship: L=16, T=2^19, 128^3 grid; bf16 field eval is the production
-    # dtype (halves hash-gather bytes; fp32 accumulation + Adam)
-    cfg = NGPConfig(scale=0.5, compute_dtype="bfloat16")
+    # dtype (halves hash-gather bytes; fp32 accumulation + Adam).
+    # --dtype float32 for CPU smoke runs (bf16 is emulated there).
+    dtype = _arg("--dtype", "bfloat16", str)
+    cfg = NGPConfig(scale=0.5, compute_dtype=dtype)
     tc = TrainConfig(batch_size=8192, lr=1e-2, num_epochs=30,
                      steps_per_epoch=1000, warmup_steps=256,
                      loss=NeRFLossConfig(grid_scale=0.5))
@@ -127,9 +154,34 @@ def main():
     print("bench: first block done", file=sys.stderr, flush=True)
     while trainer.step < 2 * bs:
         m = trainer.train_block()
-    jax.block_until_ready(trainer.params["hash_table"])
+    _sync(trainer.params["hash_table"])
 
-    # ---- XLA cost model: bytes + flops per step -----------------------------
+    # ---- analytic byte budget per training step -----------------------------
+    # The axon backend's cost_analysis() wildly overcounts (214 GB/step vs
+    # 0.33 GB on the CPU backend for the same program), so utilization is
+    # computed against this explicit model; the XLA number is kept as a
+    # diagnostic only.
+    def model_bytes_per_step():
+        es = 2 if cfg.compute_dtype == "bfloat16" else 4   # eval elem size
+        hc = cfg.hash_cfg
+        n_samp = tc.batch_size * tc.samples_per_ray_budget
+        t_entries = hc.total_entries * hc.n_features
+        p_bytes = t_entries * 4 + 40_000                   # params fp32
+        table_cast = t_entries * (4 + es) if es == 2 else 0
+        fwd_gather = n_samp * hc.n_levels * 8 * hc.n_features * es
+        bwd_scatter = 2 * n_samp * hc.n_levels * 8 * hc.n_features * 4
+        mlp_act = n_samp * 243 * es * 3                    # fwd+bwd+grads
+        adam = 8 * p_bytes                                 # p,m,v r/w + grads
+        marching = tc.batch_size * 512 * 24                # candidates+occ
+        samples_io = n_samp * 8 * 4 * 2
+        return (table_cast + fwd_gather + bwd_scatter + mlp_act + adam
+                + marching + samples_io)
+
+    bytes_model = model_bytes_per_step()
+    print(f"bench: analytic budget {bytes_model / 1e9:.2f} GB/step "
+          f"({cfg.compute_dtype})", file=sys.stderr, flush=True)
+
+    # ---- XLA cost model: bytes + flops per step (diagnostic) ----------------
     bytes_per_step = 0.0
     flops_per_step = 0.0
     try:
@@ -155,7 +207,7 @@ def main():
     n_blocks = max(1, steps // bs)
     for _ in range(n_blocks):
         m = trainer.train_block()
-    jax.block_until_ready(trainer.params["hash_table"])
+    _sync(trainer.params["hash_table"])
     dt = time.time() - t0
     steps_per_s = n_blocks * bs / dt
     print(f"bench: early {steps_per_s:.1f} steps/s", file=sys.stderr,
@@ -167,14 +219,14 @@ def main():
     # pool stalls inside one group
     while trainer.step < tc.warmup_steps + 2 * bs:
         m = trainer.train_block()
-    jax.block_until_ready(trainer.params["hash_table"])
+    _sync(trainer.params["hash_table"])
     steady = 0.0
     group_blocks = 4
     for _ in range(3):
         t0 = time.time()
         for _ in range(group_blocks):
             m = trainer.train_block()
-        jax.block_until_ready(trainer.params["hash_table"])
+        _sync(trainer.params["hash_table"])
         steady = max(steady, group_blocks * bs / (time.time() - t0))
     print(f"bench: steady {steady:.1f} steps/s (best of 3)",
           file=sys.stderr, flush=True)
@@ -182,9 +234,11 @@ def main():
     # delivered bandwidth in THIS window, measured right next to the timing
     try:
         stream = device_stream_gbps()
+        dispatch_ms = dispatch_latency_ms()
     except Exception:
         stream = stream0
-    util = (bytes_per_step * steady / (stream * 1e9)) if stream > 0 else 0.0
+        dispatch_ms = -1.0
+    util = (bytes_model * steady / (stream * 1e9)) if stream > 0 else 0.0
 
     # interactive render FPS at the reference's 800x800 GUI spec
     # (README.md:121 measures FPS at 800x800; show_gui.py:86-88 uses
@@ -209,7 +263,7 @@ def main():
         for _ in range(n_frames):
             out = render_test(trainer.model_params, trainer.grid_state,
                               rays_o, rays_d, cfg, **rkw)
-            jax.block_until_ready(out["rgb"])
+            _sync(out["rgb"])
         fps = n_frames / (time.time() - t0)
         val = trainer.validate(max_images=1, compute_ssim=False)
     except Exception as e:
@@ -229,8 +283,11 @@ def main():
             "data_gen_s": round(data_s, 1),
             "device_stream_GBps": round(stream, 1),
             "device_stream_GBps_prehunt": round(stream0, 1),
-            "bytes_per_step_GB": round(bytes_per_step / 1e9, 3),
-            "gflop_per_step": round(flops_per_step / 1e9, 2),
+            "window_quality": "ok" if stream >= 50.0 else "starved",
+            "dispatch_ms": round(dispatch_ms, 1),
+            "bytes_per_step_GB_model": round(bytes_model / 1e9, 3),
+            "bytes_per_step_GB_xla": round(bytes_per_step / 1e9, 3),
+            "gflop_per_step_xla": round(flops_per_step / 1e9, 2),
             "bandwidth_utilization": round(util, 3),
             "compute_dtype": cfg.compute_dtype,
             "device": str(dev),

@@ -86,9 +86,10 @@ def main():
         print(f"D16_{i}: scan(16) ok loss={float(ms['loss'][-1]):.4f}",
               flush=True)
 
-    # E) fused block with a 2-step interval
+    # E) fused block with a 2-step interval (fuse_grid_update=True: the
+    # single [update+scan] program under suspicion)
     from dataclasses import replace as dreplace
-    tr.tc = dreplace(tc, update_interval=2)
+    tr.tc = dreplace(tc, update_interval=2, fuse_grid_update=True)
     tr._build_steps()
     tr.step = 0
     for i in range(3):
@@ -97,7 +98,7 @@ def main():
         print(f"E2_{i}: block(2) ok", flush=True)
 
     # F) the full fused block (interval 16)
-    tr.tc = tc
+    tr.tc = dreplace(tc, fuse_grid_update=True)
     tr._build_steps()
     tr.step = 0  # re-align to block cadence
     for i in range(3):

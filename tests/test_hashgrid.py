@@ -83,3 +83,87 @@ def test_gradients_flow_to_table_and_positions():
     fd = (loss(tab + eps * v, x) - loss(tab - eps * v, x)) / (2 * eps)
     an = jnp.vdot(gt, v)
     assert np.isclose(float(fd), float(an), rtol=1e-2, atol=1e-5)
+
+
+def test_custom_vjp_matches_autodiff_of_forward():
+    """The scatter-free custom backward must equal raw autodiff of the
+    forward implementation for BOTH cotangents (x-grad feeds
+    render_surface_normal; table-grad feeds training)."""
+    from arnerf_tpu.ops.hashgrid import _encode_fwd_impl
+    cfg = small_cfg()
+    tab = hashgrid_init(jax.random.PRNGKey(0), cfg)
+    # include points at/near the [0,1] clamp boundary
+    x = jnp.concatenate([
+        jax.random.uniform(jax.random.PRNGKey(1), (64, 3)),
+        jnp.asarray([[0.0, 0.5, 1.0], [1.0, 1.0, 1.0], [0.0, 0.0, 0.0]]),
+    ])
+    g = jax.random.normal(jax.random.PRNGKey(2), (x.shape[0], cfg.out_dim))
+
+    def loss_custom(t, xx):
+        return jnp.vdot(hashgrid_encode(t, xx, cfg), g)
+
+    def loss_raw(t, xx):
+        return jnp.vdot(_encode_fwd_impl(t, xx, cfg), g)
+
+    gt_c, gx_c = jax.grad(loss_custom, argnums=(0, 1))(tab, x)
+    gt_r, gx_r = jax.grad(loss_raw, argnums=(0, 1))(tab, x)
+    np.testing.assert_allclose(np.asarray(gt_c), np.asarray(gt_r),
+                               atol=1e-5, rtol=1e-4)
+    # raw autodiff x-grad at exact boundary can keep the clip's one-sided
+    # derivative; interior points must agree tightly
+    np.testing.assert_allclose(np.asarray(gx_c[:64]), np.asarray(gx_r[:64]),
+                               atol=1e-5, rtol=1e-4)
+
+
+def test_custom_vjp_sort_path_matches_scatter_path():
+    """Force the sort-based segment sum (the TPU path) on CPU and compare
+    the table cotangent against the scatter path."""
+    from arnerf_tpu.ops import hashgrid as hg
+    from arnerf_tpu.ops.segments import dense_segment_sum
+    cfg = small_cfg()
+    tab = hashgrid_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (512, 3))
+    g = jax.random.normal(jax.random.PRNGKey(2), (512, cfg.out_dim))
+
+    flat, cw, _ = hg._indices_weights(x, cfg)
+    w = cw[..., 0] * cw[..., 1] * cw[..., 2]
+    gr = g.reshape(512, cfg.n_levels, cfg.n_features)
+    upd = (w[..., None] * gr[:, :, None, :]).reshape(-1, cfg.n_features)
+    a = dense_segment_sum(flat.reshape(-1), upd, cfg.total_entries,
+                          method="sort")
+    b = dense_segment_sum(flat.reshape(-1), upd, cfg.total_entries,
+                          method="scatter")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_position_gradient_finite_difference():
+    """Trilerp is piecewise LINEAR, so for points safely interior to their
+    cell at EVERY level a finite difference that stays inside the cell is
+    exact. (A naive FD at random points secants across cell boundaries,
+    where the gradient is discontinuous — fp64 check confirmed the analytic
+    gradient, not the naive FD.)"""
+    cfg = small_cfg()
+    tab = hashgrid_init(jax.random.PRNGKey(0), cfg) * 100.0  # visible signal
+    scales = np.asarray(cfg.scales)
+
+    cand = np.random.default_rng(0).uniform(0.1, 0.9, size=(4000, 3))
+    frac = (cand[:, None, :] * scales[None, :, None] + 0.5) % 1.0
+    ok = (np.abs(frac - 0.5) < 0.35).all(axis=(1, 2))
+    x = jnp.asarray(cand[ok][:8], jnp.float32)
+    assert x.shape[0] == 8
+
+    g = jax.random.normal(jax.random.PRNGKey(2), (8, cfg.out_dim))
+
+    def loss(xx):
+        return jnp.vdot(hashgrid_encode(tab, xx, cfg), g)
+
+    gx = jax.grad(loss)(x)
+    v = jax.random.normal(jax.random.PRNGKey(3), x.shape)
+    v = v / jnp.max(jnp.abs(v))
+    eps = 0.1 / scales.max()          # stays within every level's cell
+    fd = (loss(x + eps * v) - loss(x - eps * v)) / (2 * eps)
+    an = float(jnp.vdot(gx, v))
+    # rtol covers fp32 roundoff in the loss difference (measured ~2e-3);
+    # a wrong gradient (sign/scale/boundary-mask error) is far outside it
+    assert np.isclose(float(fd), an, rtol=1e-2, atol=1e-4), (float(fd), an)

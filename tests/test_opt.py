@@ -38,7 +38,10 @@ def test_all_reference_flags_present_with_defaults():
         assert h[k] == v, f"--{k}: {h[k]!r} != reference default {v!r}"
     # path flags default to unset
     assert h["ckpt_path"] is None and h["weight_path"] is None
-    assert len(h) == 30
+    # 30 reference flags + --compute_dtype (TPU-side addition: fp32/bf16/auto
+    # field eval; 'auto' = bf16 on accelerator backends, fp32 on CPU)
+    assert h["compute_dtype"] == "auto"
+    assert len(h) == 31
 
 
 def test_flag_overrides_parse():

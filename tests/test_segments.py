@@ -1,0 +1,75 @@
+"""Scatter-free dense segment reductions vs exact scatter references."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from arnerf_tpu.ops.segments import dense_segment_sum, dense_segment_max
+
+
+@pytest.mark.parametrize("M,T,F", [(1000, 97, 2), (50_000, 4096, 2),
+                                   (10_000, 33, 1), (257, 300, 3)])
+def test_segment_sum_matches_scatter(M, T, F):
+    k = jax.random.PRNGKey(M + T)
+    idx = jax.random.randint(k, (M,), 0, T, jnp.int32)
+    vals = jax.random.normal(jax.random.PRNGKey(1), (M, F), jnp.float32)
+    ref = np.zeros((T, F), np.float64)
+    np.add.at(ref, np.asarray(idx), np.asarray(vals, np.float64))
+    out = dense_segment_sum(idx, vals, T, method="sort")
+    assert out.shape == (T, F)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
+
+
+def test_segment_sum_empty_rows_and_all_one_row():
+    # every update on one row; all other rows exactly zero
+    M, T = 10_000, 256
+    idx = jnp.full((M,), 17, jnp.int32)
+    vals = jnp.ones((M, 2), jnp.float32)
+    out = dense_segment_sum(idx, vals, T, method="sort")
+    assert float(out[17, 0]) == pytest.approx(M, rel=1e-6)
+    out0 = out.at[17].set(0.0)
+    assert float(jnp.max(jnp.abs(out0))) == 0.0
+
+
+def test_segment_sum_ngp_magnitudes():
+    """Training-like magnitudes: tiny grads, heavy collisions — the fp32
+    cumsum's cancellation error must stay far below gradient scale."""
+    M, T = 2_000_000, 100_000
+    k = jax.random.PRNGKey(0)
+    idx = jax.random.randint(k, (M,), 0, T, jnp.int32)
+    vals = 1e-2 * jax.random.normal(jax.random.PRNGKey(1), (M, 2), jnp.float32)
+    ref = np.zeros((T, 2), np.float64)
+    np.add.at(ref, np.asarray(idx), np.asarray(vals, np.float64))
+    out = dense_segment_sum(idx, vals, T, method="sort")
+    err = np.max(np.abs(np.asarray(out, np.float64) - ref))
+    scale = np.max(np.abs(ref))
+    assert err < 1e-3 * max(scale, 1.0), (err, scale)
+
+
+@pytest.mark.parametrize("M,T", [(1000, 97), (50_000, 4096), (33, 1000)])
+def test_segment_max_matches_scatter(M, T):
+    k = jax.random.PRNGKey(M)
+    idx = jax.random.randint(k, (M,), 0, T, jnp.int32)
+    vals = jax.random.normal(jax.random.PRNGKey(2), (M,), jnp.float32)
+    ref = np.full((T,), -5.0, np.float32)
+    np.maximum.at(ref, np.asarray(idx), np.asarray(vals))
+    out = dense_segment_max(idx, vals, T, fill=-5.0, method="sort")
+    np.testing.assert_allclose(np.asarray(out), ref, atol=0)
+
+
+def test_segment_max_empty_rows_get_fill():
+    idx = jnp.asarray([3, 3, 7], jnp.int32)
+    vals = jnp.asarray([1.0, 2.0, -1.0], jnp.float32)
+    out = dense_segment_max(idx, vals, 10, fill=0.25, method="sort")
+    expect = np.full(10, 0.25, np.float32)
+    expect[3], expect[7] = 2.0, -1.0
+    np.testing.assert_allclose(np.asarray(out), expect)
+
+
+def test_segment_ops_jit_and_grad_free():
+    # jit-compatible with static num_rows
+    f = jax.jit(lambda i, v: dense_segment_sum(i, v, 64, method="sort"))
+    i = jnp.arange(128, dtype=jnp.int32) % 64
+    v = jnp.ones((128, 2))
+    np.testing.assert_allclose(np.asarray(f(i, v)), np.full((64, 2), 2.0))
