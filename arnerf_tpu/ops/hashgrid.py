@@ -74,6 +74,11 @@ class HashGridConfig:
         object.__setattr__(self, "total_entries", off)
 
     @property
+    def level_sizes(self):
+        offs = list(self.offsets) + [self.total_entries]
+        return tuple(offs[l + 1] - offs[l] for l in range(self.n_levels))
+
+    @property
     def out_dim(self):
         return self.n_levels * self.n_features
 
@@ -165,20 +170,27 @@ def _encode_bwd(cfg, res, gout):
     step costs 1.37 s on this TPU runtime vs ~0.35 s for the sort path.
     d_x is the trilinear derivative (gather-side only).
     """
-    from .segments import dense_segment_sum
+    from .segments import dense_segment_sum_batched
     table, x = res
     n = x.shape[0]
     L, F = cfg.n_levels, cfg.n_features
     scales = np.asarray(cfg.scales, dtype=np.float32)
+    offsets = np.asarray(cfg.offsets, dtype=np.int32)
 
     flat, cw, inside = _indices_weights(x, cfg)
     g = gout.reshape(n, L, F).astype(jnp.float32)                     # (N, L, F)
 
-    # --- table cotangent: sum_{n} w[n,l,c] * g[n,l,:] into row flat[n,l,c]
+    # --- table cotangent: sum_{n} w[n,l,c] * g[n,l,:] into row flat[n,l,c].
+    # Batched per level (level-local rows): L independent (N*8 + T_l)-row
+    # sorts beat one global sort — XLA sort cost is superlinear
+    # (measured 384 ms vs 476 ms at the training shape).
     w = (cw[..., 0] * cw[..., 1] * cw[..., 2]).astype(jnp.float32)
-    updates = (w[..., None] * g[:, :, None, :]).reshape(-1, F)        # (M, F)
-    d_table = dense_segment_sum(flat.reshape(-1), updates,
-                                cfg.total_entries).astype(table.dtype)
+    upd = jnp.transpose(w[..., None] * g[:, :, None, :],
+                        (1, 0, 2, 3)).reshape(L, n * 8, F)
+    local = jnp.transpose(flat - offsets[None, :, None],
+                          (1, 0, 2)).reshape(L, n * 8)
+    d_table = dense_segment_sum_batched(local, upd,
+                                        cfg.level_sizes).astype(table.dtype)
 
     # --- x cotangent: d out / d frac via per-dim weight products
     feats = table[flat.reshape(-1)].reshape(n, L, 8, F).astype(jnp.float32)

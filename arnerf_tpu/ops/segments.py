@@ -74,6 +74,52 @@ def dense_segment_sum(idx, vals, num_rows: int, method: str = "auto"):
     return out.astype(vals.dtype)
 
 
+def dense_segment_sum_batched(idx, vals, sizes, method: str = "auto"):
+    """Per-level dense segment sums in one batched pipeline.
+
+    idx:   (L, M) int32, level-LOCAL rows (idx[l] in [0, sizes[l]))
+    vals:  (L, M, F)
+    sizes: static per-level row counts
+    Returns (sum(sizes), F): level outputs concatenated in order — the
+    hash-table layout of ops/hashgrid.py.
+
+    Rationale: XLA sort cost is superlinear in row count, so L independent
+    sorts of (M + T_l) rows (batched along the leading dim of one lax.sort)
+    beat one global (L*M + sum(T_l))-row sort. Levels whose row space is
+    smaller than max(sizes) are padded with INT32_MAX query keys, which
+    sort to the end of each row and are sliced away after the partition.
+    """
+    L, M, F = vals.shape
+    if method == "auto":
+        method = "sort" if _use_sort_path() else "scatter"
+    if method == "scatter":
+        outs = [jnp.zeros((sizes[l], F), vals.dtype).at[idx[l]].add(vals[l])
+                for l in range(L)]
+        return jnp.concatenate(outs, axis=0)
+
+    T_max = max(sizes)
+    qk = (jnp.arange(T_max, dtype=jnp.int32) << 1) | 1          # (T_max,)
+    sizes_a = jnp.asarray(sizes, jnp.int32)[:, None]
+    qkeys = jnp.where(jnp.arange(T_max)[None, :] < sizes_a,
+                      qk[None, :], jnp.int32(0x7FFFFFFF))       # (L, T_max)
+    keys = jnp.concatenate([idx.astype(jnp.int32) << 1, qkeys], axis=1)
+    cols = [jnp.concatenate(
+        [vals[:, :, j].astype(jnp.float32), jnp.zeros((L, T_max))], axis=1)
+        for j in range(F)]
+    s = jax.lax.sort((keys, *cols), num_keys=1, dimension=1)
+    s_key, s_cols = s[0], s[1:]
+    cs = [jnp.cumsum(c, axis=1) for c in s_cols]
+    # stable partition per level: query slots (LSB 1) to the front, in row
+    # order; INT32_MAX padding also has LSB 1 but sits after all real
+    # queries (it sorted to the end), so the first T_max slots are exactly
+    # [T_l real queries, padding...]
+    part = jax.lax.sort(((s_key & 1) ^ 1, *cs), num_keys=1, dimension=1)
+    C = jnp.stack([p[:, :T_max] for p in part[1:]], axis=2)      # (L,T_max,F)
+    out = jnp.diff(C, axis=1, prepend=jnp.zeros((L, 1, F), C.dtype))
+    return jnp.concatenate([out[l, :sizes[l]] for l in range(L)],
+                           axis=0).astype(vals.dtype)
+
+
 def dense_segment_max(idx, vals, num_rows: int, fill=0.0,
                       method: str = "auto"):
     """out[t] = max of vals[i] where idx[i] == t (or `fill` if none).

@@ -62,20 +62,25 @@ def main():
         leaf = jax.tree.leaves(x)[0]
         return float(jnp.max(jnp.abs(leaf)).astype(jnp.float32))
 
-    def device_stream_gbps(iters=4):
+    def device_stream_gbps(iters=32):
         """Delivered-HBM-bandwidth probe: big elementwise op on a
         TILE-ALIGNED shape. (Round 1 used (2^24, 2), which XLA pads to 128
         lanes -> the probe measured 64x-padded traffic + dispatch latency
-        and under-reported delivered bandwidth by ~64x.)"""
+        and under-reported delivered bandwidth by ~64x.) The final scalar
+        fetch costs one ~30ms tunnel roundtrip, so chain enough iterations
+        to amortize it and subtract the measured roundtrip."""
         x = jax.random.normal(jax.random.PRNGKey(0), (1 << 15, 2048))
         f = jax.jit(lambda s: s * 2.0 + 1.0)
         _sync(f(x))
+        t_r0 = time.time()
+        _sync(jnp.float32(0.0))
+        roundtrip = time.time() - t_r0
         t0 = time.time()
         out = x
         for _ in range(iters):
             out = f(out)
         _sync(out)
-        dt = (time.time() - t0) / iters
+        dt = max(time.time() - t0 - roundtrip, 1e-6) / iters
         return (x.size * 4 * 2) / dt / 1e9
 
     def dispatch_latency_ms(iters=10):

@@ -73,3 +73,35 @@ def test_segment_ops_jit_and_grad_free():
     i = jnp.arange(128, dtype=jnp.int32) % 64
     v = jnp.ones((128, 2))
     np.testing.assert_allclose(np.asarray(f(i, v)), np.full((64, 2), 2.0))
+
+
+def test_batched_segment_sum_matches_scatter():
+    from arnerf_tpu.ops.segments import dense_segment_sum_batched
+    L, M, F = 4, 20_000, 2
+    sizes = (64, 512, 4096, 4096)
+    k = jax.random.PRNGKey(0)
+    idx = jnp.stack([jax.random.randint(jax.random.PRNGKey(l), (M,), 0,
+                                        sizes[l], jnp.int32)
+                     for l in range(L)])
+    vals = jax.random.normal(k, (L, M, F), jnp.float32)
+    a = dense_segment_sum_batched(idx, vals, sizes, method="sort")
+    b = dense_segment_sum_batched(idx, vals, sizes, method="scatter")
+    assert a.shape == (sum(sizes), F)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=2e-3, rtol=1e-4)
+
+
+def test_batched_segment_sum_uniform_sizes_and_jit():
+    from arnerf_tpu.ops.segments import dense_segment_sum_batched
+    L, M, F = 3, 999, 1
+    sizes = (128, 128, 128)
+    idx = jnp.stack([jnp.arange(M, dtype=jnp.int32) % 128] * L)
+    vals = jnp.ones((L, M, F))
+    f = jax.jit(lambda i, v: dense_segment_sum_batched(i, v, sizes,
+                                                       method="sort"))
+    out = f(idx, vals)
+    ref = np.zeros((128,), np.float64)
+    np.add.at(ref, np.arange(M) % 128, 1.0)
+    for l in range(L):
+        np.testing.assert_allclose(np.asarray(out[l * 128:(l + 1) * 128, 0]),
+                                   ref, atol=1e-4)
