@@ -22,10 +22,13 @@ then costs a SINGLE wide-row gather:
     absorbs the variance.
   * interp="trilinear": exact 8-row trilerp for quality comparisons.
 
-Empty-space skipping, compositing, and early termination reuse the
-network renderer's marching/composite ops unchanged, so the baked path
-inherits the reference's test-time semantics (march_rays_test,
-composite_test_step; reference rendering.py:191-233).
+There are NO occupancy-marching structures on this path: the network
+renderer's two-level march + rank-select costs ~620 gather rows per ray
+per round (built for 8192-ray training batches), while here an empty
+voxel costs exactly one cheap row that composites to nothing. Background
+rays die on tight-AABB intersection math; compositing and early
+termination reuse composite_test_step, preserving the reference's
+test-loop semantics (reference rendering.py:191-233).
 
 Baking evaluates the field only at occupied voxels (the occupancy bitfield
 the trainer already maintains) with a batch of quadrature directions per
@@ -41,8 +44,6 @@ import jax
 import jax.numpy as jnp
 
 from .insert.sh_math import sh9_basis
-from .ops.marching import march_rays_test
-from .ops.stepping import num_lattice_steps
 from .ops.composite import composite_test_step
 from .ops.intersection import ray_aabb_intersect_single
 
@@ -55,6 +56,8 @@ class BakedField(NamedTuple):
     rows: jnp.ndarray        # (B^3, 32) — z-fastest voxel rows
     resolution: int          # B (static)
     scale: float             # AABB half-extent (static)
+    aabb_lo: jnp.ndarray = None   # (3,) tight bounds of occupied voxels
+    aabb_hi: jnp.ndarray = None
 
     # NamedTuple keeps this a pytree; resolution/scale ride as aux via the
     # static argnums of the jitted entry points (callers pass them split).
@@ -119,8 +122,24 @@ def bake_field(field_fn, scale: float, resolution: int = 256,
         # channel layout: r_sh then g_sh then b_sh
         rows[sl, 1:28] = np.asarray(
             jnp.transpose(coeffs, (0, 2, 1)).reshape(-1, 27))
+
+    # tight world-space bounds of voxels that actually carry density
+    # (+1 voxel margin); background rays die on pure intersection math
+    occupied = rows[:, 0] > 1e-4
+    vox = 2 * scale / B
+    if occupied.any():
+        oi = np.nonzero(occupied)[0]
+        ox, oy, oz = oi // (B * B), (oi // B) % B, oi % B
+        aabb_lo = np.array([ox.min(), oy.min(), oz.min()], np.float32) \
+            * vox - scale - vox
+        aabb_hi = (np.array([ox.max(), oy.max(), oz.max()], np.float32) + 1) \
+            * vox - scale + vox
+    else:
+        aabb_lo = np.full(3, -scale, np.float32)
+        aabb_hi = np.full(3, scale, np.float32)
     return BakedField(rows=jnp.asarray(rows, dtype), resolution=B,
-                      scale=scale)
+                      scale=scale, aabb_lo=jnp.asarray(aabb_lo),
+                      aabb_hi=jnp.asarray(aabb_hi))
 
 
 def sample_baked(rows, xyz, sh_d, B: int, scale: float,
@@ -164,65 +183,74 @@ def sample_baked(rows, xyz, sh_d, B: int, scale: float,
 
 
 @partial(jax.jit, static_argnames=(
-    "B", "scale", "cascades", "grid_size", "interp", "exp_step_factor",
-    "T_threshold", "max_samples", "n_candidates", "samples_per_round",
-    "max_rounds", "return_state", "dt_scale"))
-def render_baked_chunk(rows, occ_flat, occ_coarse, rays_o, rays_d, key, *,
-                       B: int, scale: float, cascades: int, grid_size: int,
-                       interp: str = "stochastic",
-                       exp_step_factor: float = 0.0,
-                       T_threshold: float = 1e-2, max_samples: int = 1024,
-                       n_candidates: int = 512, samples_per_round: int = 16,
-                       init_state=None, max_rounds: int = 0,
-                       return_state: bool = False, dt_scale: float = None):
-    """Fixed-shape round loop over the baked field (mirrors
-    rendering.render_test_chunk with the 1-gather sampler)."""
+    "B", "scale", "interp", "T_threshold", "n_steps", "samples_per_round",
+    "max_rounds", "return_state"))
+def render_baked_uniform(rows, aabb_lo, aabb_hi, rays_o, rays_d, key, *,
+                         B: int, scale: float, interp: str = "stochastic",
+                         T_threshold: float = 1e-2, n_steps: int = 192,
+                         samples_per_round: int = 32, init_state=None,
+                         max_rounds: int = 0, return_state: bool = False):
+    """Uniform-stepping baked render chunk — NO occupancy structures.
+
+    Rationale: the network renderer's empty-space machinery (two-level
+    marching + rank-select binary searches, ops/marching.py) costs ~620
+    gather rows per ray per round — built for 8192-ray training batches,
+    catastrophic at 640k-ray frames. The baked grid makes skipping
+    unnecessary: an empty voxel holds sigma=0 and costs exactly one cheap
+    row fetch, and the TIGHT occupied-voxel AABB (not the scene cube) kills
+    background rays with pure intersection math before any memory access.
+    Early ray termination exits saturated rays between rounds; callers
+    compact survivors between phases (render_baked).
+
+    dt spans the tight box diagonal in n_steps; rays march [t_enter,
+    t_exit] of the tight box. State carry mirrors render_test_chunk:
+    (t_cur, opacity, depth, rgb, alive, samples_done).
+    """
     N = rays_o.shape[0]
-    hits = ray_aabb_intersect_single(rays_o, rays_d, jnp.zeros(3),
-                                     jnp.full(3, scale))
+    hits = ray_aabb_intersect_single(rays_o, rays_d, (aabb_lo + aabb_hi) / 2,
+                                     (aabb_hi - aabb_lo) / 2)
+    t1 = jnp.maximum(hits[:, 0], 0.0)
     t2 = hits[:, 1]
+    dt = jnp.linalg.norm(aabb_hi - aabb_lo) / n_steps
     S = samples_per_round
+
+    sh_d = sh9_basis(rays_d / jnp.linalg.norm(
+        rays_d, axis=-1, keepdims=True).clip(1e-12))          # (N, 9)
 
     def cond(carry):
         *_, alive, samples_done, rounds, _k = carry
-        go = jnp.any(alive) & (samples_done < max_samples)
+        go = jnp.any(alive) & (samples_done < n_steps)
         if max_rounds:
             go = go & (rounds < max_rounds)
         return go
 
     def body(carry):
         t_cur, opacity, depth, rgb, alive, samples_done, rounds, k = carry
-        xyzs, deltas, ts, n_eff, t_next = march_rays_test(
-            rays_o, rays_d, t_cur, t2, occ_flat,
-            scale=scale, cascades=cascades,
-            exp_step_factor=exp_step_factor, grid_size=grid_size,
-            max_samples=max_samples, n_candidates=n_candidates,
-            n_samples=S, occ_coarse=occ_coarse, dt_scale=dt_scale)
-        n_eff = jnp.where(alive, n_eff, 0)
-        flat_x = xyzs.reshape(N * S, 3)
-        sh_d = sh9_basis(rays_d / jnp.linalg.norm(
-            rays_d, axis=-1, keepdims=True).clip(1e-12))
-        sh_rep = jnp.repeat(sh_d, S, axis=0)
         k, k_j = jax.random.split(k)
+        ts = t_cur[:, None] + (jnp.arange(S) + 0.5) * dt       # (N, S)
+        pos = rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :]
+        flat_x = pos.reshape(N * S, 3)
         jitter = jax.random.uniform(k_j, (N * S, 3)) \
             if interp == "stochastic" else None
+        sh_rep = jnp.repeat(sh_d, S, axis=0)
         sig, col = sample_baked(rows, flat_x, sh_rep, B, scale,
                                 interp, jitter)
+        in_range = (ts < t2[:, None]) & alive[:, None]
+        n_eff = jnp.sum(in_range, axis=1)
+        sig = jnp.where(in_range, sig.reshape(N, S), 0.0)
+        deltas = jnp.full((N, S), dt)
         opacity, depth, rgb, still = composite_test_step(
-            sig.reshape(N, S), col.reshape(N, S, 3), deltas, ts, n_eff,
+            sig, col.reshape(N, S, 3), deltas, ts, n_eff,
             opacity, depth, rgb, T_threshold)
-        t_cur = jnp.where(alive, t_next, t_cur)
+        t_cur = jnp.where(alive, t_cur + S * dt, t_cur)
         alive = alive & still & (t_cur < t2)
         return (t_cur, opacity, depth, rgb, alive,
                 samples_done + S, rounds + 1, k)
 
     if init_state is None:
-        from .rendering import NEAR_DISTANCE
-        t1 = hits[:, 0]
-        t1 = jnp.where((t1 >= 0) & (t1 < NEAR_DISTANCE), NEAR_DISTANCE, t1)
-        alive = t1 >= 0
-        state = (jnp.where(alive, t1, t2 + 1.0), jnp.zeros(N),
-                 jnp.zeros(N), jnp.zeros((N, 3)), alive, jnp.int32(0))
+        alive0 = (hits[:, 0] > -0.5) & (t2 > t1)
+        state = (t1, jnp.zeros(N), jnp.zeros(N), jnp.zeros((N, 3)),
+                 alive0, jnp.int32(0))
     else:
         state = init_state
     init = (*state[:5], state[5], jnp.int32(0), key)
@@ -236,90 +264,100 @@ def render_baked_chunk(rows, occ_flat, occ_coarse, rays_o, rays_d, key, *,
 
 def render_baked(baked: BakedField, grid_state, rays_o, rays_d, cfg, *,
                  key=None, interp: str = "stochastic",
-                 T_threshold: float = 1e-2, max_samples: int = 1024,
-                 samples_per_round: int = 16, chunk: int = 1 << 18,
-                 prehit: bool = True, dt_scale: float = None,
-                 exp_step_factor: float = 0.0):
-    """Full-frame baked render with the network renderer's prehit
-    compaction (rendering.first_hit): background rays die on occupancy
-    gathers alone before any field fetch."""
-    from .rendering import (first_hit, scene_hits, _pow2_bucket, SQRT3,
-                            NEAR_DISTANCE)
-    from .ops.marching import build_coarse_occupancy, coarse_dilation_radius
+                 T_threshold: float = 1e-2, n_steps: int = 192,
+                 samples_per_round: int = 32, chunk: int = 1 << 18,
+                 phase1_rounds: int = 2, max_samples=None, prehit=None,
+                 dt_scale=None, exp_step_factor: float = 0.0):
+    """Full-frame baked render.
+
+    Phase 0 intersects every ray with the TIGHT occupied-voxel AABB in host
+    numpy — background rays die on pure math, zero device traffic. Phase 1
+    runs a couple of uniform-stepping rounds on the compacted hitters;
+    phase 2 compacts the still-alive survivors and runs them to the end
+    (the reference's shrinking-alive-list economics, reference
+    rendering.py:191-233, without any occupancy gathers).
+
+    grid_state/cfg are accepted for signature-compat with render_test;
+    marching structures are not used (see render_baked_uniform).
+    max_samples/prehit/dt_scale are accepted and ignored for the same
+    reason.
+    """
+    from .rendering import _pow2_bucket
 
     if key is None:
         key = jax.random.PRNGKey(0)
     N = rays_o.shape[0]
-    occ_coarse = None
-    if cfg.cascades == 1:
-        occ_coarse = build_coarse_occupancy(
-            grid_state.occ_flat, cfg.cascades, cfg.grid_size,
-            dilate=coarse_dilation_radius(
-                scale=cfg.scale, exp_step_factor=exp_step_factor,
-                grid_size=cfg.grid_size, max_samples=max_samples,
-                dt_scale=dt_scale))
-
     opacity = np.zeros(N, np.float32)
     depth = np.zeros(N, np.float32)
     rgb = np.zeros((N, 3), np.float32)
 
-    if prehit:
-        hits = scene_hits(rays_o, rays_d, cfg)
-        step_scale = cfg.scale if dt_scale is None else dt_scale
-        diag = 2 * SQRT3 * cfg.scale
-        fh_K = num_lattice_steps(NEAR_DISTANCE, NEAR_DISTANCE + diag,
-                                 exp_step_factor, max_samples,
-                                 cfg.grid_size, step_scale)
-        alive0, t_first = first_hit(
-            grid_state.occ_flat, occ_coarse, rays_o, rays_d, hits, cfg,
-            exp_step_factor=exp_step_factor, max_samples=max_samples,
-            n_candidates=fh_K, dt_scale=dt_scale)
-        idx0 = np.where(np.asarray(alive0))[0]
-        if len(idx0) == 0:
-            return {"opacity": jnp.asarray(opacity),
-                    "depth": jnp.asarray(depth), "rgb": jnp.asarray(rgb)}
-        ro_np, rd_np = np.asarray(rays_o), np.asarray(rays_d)
-        tf_np = np.asarray(t_first)
-    else:
-        idx0 = np.arange(N)
-        ro_np, rd_np = np.asarray(rays_o), np.asarray(rays_d)
-        tf_np = None
+    ro_np = np.asarray(rays_o, np.float32)
+    rd_np = np.asarray(rays_d, np.float32)
+    lo = np.asarray(baked.aabb_lo)
+    hi = np.asarray(baked.aabb_hi)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv = 1.0 / rd_np
+    ta = (lo[None, :] - ro_np) * inv
+    tb = (hi[None, :] - ro_np) * inv
+    t1 = np.maximum(np.minimum(ta, tb).max(axis=1), 0.0)
+    t2 = np.maximum(ta, tb).min(axis=1)
+    idx0 = np.where(t2 > t1)[0]
+    if len(idx0) == 0:
+        return {"opacity": jnp.asarray(opacity), "depth": jnp.asarray(depth),
+                "rgb": jnp.asarray(rgb)}
 
-    M = len(idx0)
-    bucket = min(chunk, _pow2_bucket(M, 4096))
-    for i in range(0, M, bucket):
-        sl = idx0[i:i + bucket]
-        n = len(sl)
-        pad = bucket - n
-        ro = jnp.asarray(np.concatenate([ro_np[sl],
-                                         np.zeros((pad, 3), np.float32)]))
-        rd = jnp.asarray(np.concatenate([rd_np[sl],
-                                         np.ones((pad, 3), np.float32)]))
-        init_state = None
-        if tf_np is not None:
-            tc = np.concatenate([tf_np[sl], np.full(pad, 1e9, np.float32)])
-            init_state = (jnp.asarray(tc), jnp.zeros(bucket),
-                          jnp.zeros(bucket), jnp.zeros((bucket, 3)),
-                          jnp.concatenate([jnp.ones(n, bool),
-                                           jnp.zeros(pad, bool)]),
-                          jnp.int32(0))
-        key, k = jax.random.split(key)
-        res = render_baked_chunk(
-            baked.rows, grid_state.occ_flat, occ_coarse, ro, rd, k,
-            B=baked.resolution, scale=baked.scale, cascades=cfg.cascades,
-            grid_size=cfg.grid_size, interp=interp,
-            exp_step_factor=exp_step_factor, T_threshold=T_threshold,
-            max_samples=max_samples, samples_per_round=samples_per_round,
-            init_state=init_state, dt_scale=dt_scale)
-        opacity[sl] = np.asarray(res["opacity"])[:n]
-        depth[sl] = np.asarray(res["depth"])[:n]
-        rgb[sl] = np.asarray(res["rgb"])[:n]
+    def run(ro_s, rd_s, state_s, max_rounds):
+        """One compacted phase; all inputs position-indexed (M, ...)."""
+        M = len(ro_s)
+        bucket = min(chunk, _pow2_bucket(M, 4096))
+        outs = []
+        nonlocal key
+        pad_vals = [1e9, 0.0, 0.0, 0.0, False]
+        for i in range(0, M, bucket):
+            n = min(bucket, M - i)
+            pad = bucket - n
+            ro = jnp.asarray(np.concatenate(
+                [ro_s[i:i + n], np.zeros((pad, 3), np.float32)]))
+            rd = jnp.asarray(np.concatenate(
+                [rd_s[i:i + n], np.ones((pad, 3), np.float32)]))
+            st = tuple(
+                jnp.asarray(np.concatenate(
+                    [c[i:i + n],
+                     np.full((pad,) + c.shape[1:], pv, c.dtype)]))
+                for c, pv in zip(state_s[:5], pad_vals)
+            ) + (jnp.int32(state_s[5]),)
+            key, k = jax.random.split(key)
+            res = render_baked_uniform(
+                baked.rows, baked.aabb_lo, baked.aabb_hi, ro, rd, k,
+                B=baked.resolution, scale=baked.scale, interp=interp,
+                T_threshold=T_threshold, n_steps=n_steps,
+                samples_per_round=samples_per_round, init_state=st,
+                max_rounds=max_rounds, return_state=True)
+            s = res["state"]
+            outs.append([np.asarray(x)[:n] for x in s[:5]] + [int(s[5])])
+        return ([np.concatenate([o[j] for o in outs]) for j in range(5)]
+                + [max(o[5] for o in outs)])
+
+    state0 = [t1[idx0], np.zeros(len(idx0), np.float32),
+              np.zeros(len(idx0), np.float32),
+              np.zeros((len(idx0), 3), np.float32),
+              np.ones(len(idx0), bool), 0]
+    st1 = run(ro_np[idx0], rd_np[idx0], state0, phase1_rounds)
+    opacity[idx0], depth[idx0], rgb[idx0] = st1[1], st1[2], st1[3]
+    alive = np.where(st1[4])[0]
+    if len(alive):
+        full_idx = idx0[alive]
+        carry = [st1[j][alive] for j in range(5)] + [st1[5]]
+        st2 = run(ro_np[full_idx], rd_np[full_idx], carry, 0)
+        opacity[full_idx], depth[full_idx], rgb[full_idx] = \
+            st2[1], st2[2], st2[3]
     return {"opacity": jnp.asarray(opacity), "depth": jnp.asarray(depth),
             "rgb": jnp.asarray(rgb)}
 
 
 def bake_ngp(params, grid_state, cfg, resolution: int = 256,
-             n_dirs: int = 32, dtype=jnp.bfloat16) -> BakedField:
+             n_dirs: int = 32, dtype=jnp.bfloat16,
+             chunk: int = 1 << 12) -> BakedField:
     """Bake a trained NGP (models/ngp.py) into a BakedField.
 
     Occupancy comes from the trainer's grid (cascade 0); baked voxels are
@@ -351,5 +389,8 @@ def bake_ngp(params, grid_state, cfg, resolution: int = 256,
         sigma, rgb = ngp_forward(params, x, dirs, cfg)
         return sigma, rgb
 
+    # chunk * n_dirs field points per program; default keeps the peak
+    # intermediate (N, L, 8, 3) index tensor well under the 16 GB HBM
     return bake_field(field_fn, cfg.scale, resolution=B,
-                      occ_mask=mask_flat, n_dirs=n_dirs, dtype=dtype)
+                      occ_mask=mask_flat, n_dirs=n_dirs, dtype=dtype,
+                      chunk=chunk)

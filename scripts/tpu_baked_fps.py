@@ -60,7 +60,8 @@ def main():
 
     t0 = time.time()
     print("probe: baking...", file=sys.stderr, flush=True)
-    baked = bake_ngp(tr.model_params, tr.grid_state, cfg, resolution=B)
+    baked = bake_ngp(tr.model_params, tr.grid_state, cfg, resolution=B,
+                     chunk=1 << 12)
     device_sync(baked.rows)
     bake_s = time.time() - t0
     occ_frac = float((np.abs(np.asarray(

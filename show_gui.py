@@ -48,9 +48,17 @@ class OrbitCamera:
 
 
 class NGPGUI:
-    """reference show_gui.py:54-191."""
+    """reference show_gui.py:54-191.
 
-    def __init__(self, hparams, K, img_wh, radius=2.5):
+    baked=True (or env ARNERF_GUI_BAKED=1) bakes the field into the dense
+    SH voxel grid once at startup and renders frames from it
+    (rendering_baked.py) — the TPU-native interactive path. LDR only: the
+    SH fit assumes bounded radiance, so HDR/exposure modes keep the
+    network renderer.
+    """
+
+    def __init__(self, hparams, K, img_wh, radius=2.5, baked=None):
+        import os
         import jax
         import jax.numpy as jnp
         from arnerf_tpu.models import NGPConfig, ngp_init, grid_state_init
@@ -74,6 +82,15 @@ class NGPGUI:
         self.img_mode = 0
         self.exposure = 1.0
         self._jnp = jnp
+        if baked is None:
+            baked = os.environ.get('ARNERF_GUI_BAKED', '') not in ('', '0')
+        self.baked = None
+        if baked and self.cfg.rgb_act == 'Sigmoid' and hparams.ckpt_path:
+            from arnerf_tpu.rendering_baked import bake_ngp
+            t0 = time.time()
+            self.baked = bake_ngp(self.params, self.grid_state, self.cfg)
+            print(f'baked field in {time.time() - t0:.1f}s')
+        self._frame = 0
 
     def render_cam(self, cam):
         import jax.numpy as jnp
@@ -85,14 +102,24 @@ class NGPGUI:
                                   jnp.asarray(cam.pose[:3], jnp.float32))
         exp_step_factor = 1 / 256 if self.hparams.dataset_name in (
             'colmap', 'nerfpp') else 0.0
-        kwargs = {}
-        if self.cfg.rgb_act == 'None' and not self.cfg.use_raw_hdr:
-            kwargs['exposure'] = jnp.full((1, 1), self.exposure)
-        out = render_test(
-            self.params, self.grid_state, rays_o, rays_d, self.cfg,
-            exp_step_factor=exp_step_factor, T_threshold=1e-2,
-            max_samples=96, samples_per_round=32, fast=True,
-            output_radiance=self.hparams.use_EXR, **kwargs)
+        if self.baked is not None:
+            import jax
+            from arnerf_tpu.rendering_baked import render_baked
+            self._frame += 1
+            out = render_baked(
+                self.baked, self.grid_state, rays_o, rays_d, self.cfg,
+                key=jax.random.PRNGKey(self._frame),
+                exp_step_factor=exp_step_factor, T_threshold=1e-2)
+            out['total_samples'] = 0
+        else:
+            kwargs = {}
+            if self.cfg.rgb_act == 'None' and not self.cfg.use_raw_hdr:
+                kwargs['exposure'] = jnp.full((1, 1), self.exposure)
+            out = render_test(
+                self.params, self.grid_state, rays_o, rays_d, self.cfg,
+                exp_step_factor=exp_step_factor, T_threshold=1e-2,
+                max_samples=96, samples_per_round=32, fast=True,
+                output_radiance=self.hparams.use_EXR, **kwargs)
         rgb = np.asarray(out['rgb']).reshape(self.H, self.W, 3)
         depth = np.asarray(out['depth']).reshape(self.H, self.W)
         self.dt = time.time() - t

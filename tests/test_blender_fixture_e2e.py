@@ -103,12 +103,14 @@ def test_train_cli_on_blender_fixture(tmp_path):
     cmd = [sys.executable, os.path.join(repo, "train.py"),
            "--dataset_name", "nerf", "--root_dir", str(tmp_path),
            "--downsample", str(DOWNSAMPLE), "--exp_name", "fixture",
-           "--num_epochs", "1", "--batch_size", "256", "--scale", "0.5"]
+           "--num_epochs", "1", "--batch_size", "1024", "--scale", "0.5"]
     r = subprocess.run(cmd, cwd=str(run_dir), env=env, capture_output=True,
                        text=True, timeout=3000)
     assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
     m = re.search(r"test/psnr=([0-9.]+)", r.stdout)
     assert m, r.stdout[-2000:]
     psnr = float(m.group(1))
-    assert psnr > 25.0, f"fixture e2e test PSNR too low: {psnr}"
+    # in-process probe at this exact spec reached val 30.1 dB; 28 leaves
+    # margin for RNG while still proving loader-to-convergence
+    assert psnr > 28.0, f"fixture e2e test PSNR too low: {psnr}"
     assert (run_dir / "ckpts/nerf/fixture/epoch=0.npz").exists()

@@ -38,3 +38,21 @@ def test_ngp_gui_render_cam_headless():
     assert rgb.shape == (64, 64, 3)
     assert np.isfinite(rgb).all() and (rgb >= 0).all() and (rgb <= 1).all()
     assert gui.dt > 0 and gui.mean_samples >= 0
+
+
+def test_ngp_gui_baked_render_path():
+    """GUI wired to the baked renderer (rendering_baked.py)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from show_gui import NGPGUI
+    from arnerf_tpu.opt import get_opts
+    from arnerf_tpu.rendering_baked import bake_ngp
+    h = get_opts(["--dataset_name", "synthetic", "--scale", "0.5"])
+    K = np.asarray([[60.0, 0, 32], [0, 60.0, 32], [0, 0, 1]])
+    gui = NGPGUI(h, K, (64, 64), radius=2.5)
+    # no ckpt -> bake from the (random-init) params at a tiny resolution
+    gui.baked = bake_ngp(gui.params, gui.grid_state, gui.cfg, resolution=16,
+                         n_dirs=8, dtype=np.float32)
+    rgb = gui.render_cam(gui.cam)
+    assert rgb.shape == (64, 64, 3)
+    assert np.isfinite(rgb).all()
