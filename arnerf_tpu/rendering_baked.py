@@ -75,7 +75,7 @@ def fibonacci_sphere(n: int) -> np.ndarray:
 
 def bake_field(field_fn, scale: float, resolution: int = 256,
                occ_mask=None, n_dirs: int = 32, chunk: int = 1 << 15,
-               dtype=jnp.bfloat16) -> BakedField:
+               dtype=jnp.float32) -> BakedField:
     """Bake a radiance field into a dense SH voxel grid.
 
     field_fn(xyz (M,3), dirs (M,3)) -> (sigma (M,), rgb (M,3)); it is
@@ -356,7 +356,7 @@ def render_baked(baked: BakedField, grid_state, rays_o, rays_d, cfg, *,
 
 
 def bake_ngp(params, grid_state, cfg, resolution: int = 256,
-             n_dirs: int = 32, dtype=jnp.bfloat16,
+             n_dirs: int = 32, dtype=jnp.float32,
              chunk: int = 1 << 12) -> BakedField:
     """Bake a trained NGP (models/ngp.py) into a BakedField.
 

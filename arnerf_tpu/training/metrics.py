@@ -41,9 +41,14 @@ def ssim(pred, gt, data_range: float = 1.0):
 
     mu_p, mu_g = blur(pred), blur(gt)
     mu_pp, mu_gg, mu_pg = mu_p * mu_p, mu_g * mu_g, mu_p * mu_g
-    sigma_p = blur(pred * pred) - mu_pp
-    sigma_g = blur(gt * gt) - mu_gg
+    # fp32 E[x^2]-E[x]^2 cancels catastrophically on flat regions (variance
+    # ~1e-6 noise against C2=9e-4 pushed SSIM of near-identical flat images
+    # above 1). Enforce variance >= 0 and Cauchy-Schwarz on the covariance.
+    sigma_p = jnp.maximum(blur(pred * pred) - mu_pp, 0.0)
+    sigma_g = jnp.maximum(blur(gt * gt) - mu_gg, 0.0)
     sigma_pg = blur(pred * gt) - mu_pg
+    bound = jnp.sqrt(sigma_p * sigma_g)
+    sigma_pg = jnp.clip(sigma_pg, -bound, bound)
     s = ((2 * mu_pg + C1) * (2 * sigma_pg + C2)) / \
         ((mu_pp + mu_gg + C1) * (sigma_p + sigma_g + C2))
     return jnp.mean(s)

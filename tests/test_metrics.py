@@ -80,3 +80,17 @@ def test_psnr_matches_torchmetrics():
     tm = PeakSignalNoiseRatio(data_range=1.0)
     ref = float(tm(torch.from_numpy(a), torch.from_numpy(b)))
     assert np.isclose(ours, ref, atol=1e-3)
+
+
+def test_ssim_never_exceeds_one_on_flat_images():
+    """fp32 variance cancellation on flat regions must not push SSIM > 1
+    (observed 1.0031 on a white-background render pair)."""
+    import jax.numpy as jnp
+    from arnerf_tpu.training.metrics import ssim
+    a = jnp.ones((64, 64, 3)) * 0.997
+    b = a + 1e-4
+    v = float(ssim(a, b))
+    assert v <= 1.0 + 1e-6, v
+    assert v > 0.99
+    # identical images: exactly at/below 1
+    assert float(ssim(a, a)) <= 1.0 + 1e-6
