@@ -7,3 +7,5 @@ from .intersection import ray_aabb_intersect, ray_sphere_intersect
 from .trunc_exp import trunc_exp
 from .sh import sh_encode
 from .hashgrid import HashGridConfig, hashgrid_init, hashgrid_encode
+from .segments import (dense_segment_sum, dense_segment_sum_batched,
+                       dense_segment_max)

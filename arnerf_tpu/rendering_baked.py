@@ -159,8 +159,15 @@ def sample_baked(rows, xyz, sh_d, B: int, scale: float,
 
     def decode(f):
         sigma = f[:, 0]
-        sh = f[:, 1:28].reshape(-1, 3, N_SH)      # (N, 3, 9)
-        rgb = jnp.einsum("nck,nk->nc", sh, sh_d)
+        sh = f[:, 1:28].reshape(-1, 3, N_SH)      # (M, 3, 9)
+        if sh_d.shape[0] != f.shape[0]:
+            # per-RAY basis for (rays, S)-flattened samples: reshape instead
+            # of materializing a repeated (M, 9) basis
+            S = f.shape[0] // sh_d.shape[0]
+            sh_r = sh.reshape(sh_d.shape[0], S, 3, N_SH)
+            rgb = jnp.einsum("nsck,nk->nsc", sh_r, sh_d).reshape(-1, 3)
+        else:
+            rgb = jnp.einsum("nck,nk->nc", sh, sh_d)
         return sigma, jnp.maximum(rgb, 0.0)
 
     if interp == "stochastic":
@@ -232,8 +239,7 @@ def render_baked_uniform(rows, aabb_lo, aabb_hi, rays_o, rays_d, key, *,
         flat_x = pos.reshape(N * S, 3)
         jitter = jax.random.uniform(k_j, (N * S, 3)) \
             if interp == "stochastic" else None
-        sh_rep = jnp.repeat(sh_d, S, axis=0)
-        sig, col = sample_baked(rows, flat_x, sh_rep, B, scale,
+        sig, col = sample_baked(rows, flat_x, sh_d, B, scale,
                                 interp, jitter)
         in_range = (ts < t2[:, None]) & alive[:, None]
         n_eff = jnp.sum(in_range, axis=1)
