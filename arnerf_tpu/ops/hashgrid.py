@@ -44,11 +44,6 @@ class HashGridConfig:
     log2_hashmap_size: int = 19
     base_resolution: int = 16
     per_level_scale: float = 1.3819  # b = exp(ln(2048*scale/N_min)/(L-1))
-    # fetch 64-entry (128-float) rows and lane-select instead of per-entry
-    # rows: the 48 MB table sits in the region where >=256B-row gathers run
-    # ~2x faster per row (measured 3-4.3 vs 6.3 ns/row; see DESIGN.md).
-    # Requires n_features == 2. Off by default until TPU-validated.
-    wide_fetch: bool = False
     # derived, filled in __post_init__
     scales: tuple = field(default=None)
     resolutions: tuple = field(default=None)
@@ -145,36 +140,18 @@ def _indices_weights(x: jnp.ndarray, cfg: HashGridConfig):
     return flat, cw, inside
 
 
-def _table_fetch(table, flat_1d, cfg: HashGridConfig, chunk: int = 1 << 22):
+def _table_fetch(table, flat_1d, cfg: HashGridConfig):
     """Gather feature rows for flat 1-D entry indices -> (M, F).
 
-    wide_fetch mode packs 64 entries into one 128-float row and
-    lane-selects after a whole-row gather (2x per-row rate on the 48 MB
-    table — DESIGN.md "Measured performance model"); chunked via lax.map
-    so the (chunk, 128) row temp stays ~2 GB.
+    Measured negative result (round 2, kept as a record): packing 64
+    entries into 128-float rows and lane-selecting after a whole-row
+    gather — motivated by microbenchmarks where >=256B-row gathers from
+    <~100 MB tables ran 2x faster per row — is 5x SLOWER at the real
+    encode shapes (175 ms vs 33 ms for 4M fetches) and the chunked
+    variant OOMs (XLA materializes the full (M, 128) row temp through
+    lax.map). The per-entry gather below is the fastest known form.
     """
-    if not cfg.wide_fetch or cfg.n_features != 2:
-        return table[flat_1d]
-    F = cfg.n_features
-    T = table.shape[0]
-    Tpad = ((T + 63) // 64) * 64
-    wide = jnp.pad(table, ((0, Tpad - T), (0, 0))).reshape(Tpad // 64,
-                                                           64 * F)
-    M = flat_1d.shape[0]
-    Mpad = ((M + chunk - 1) // chunk) * chunk
-    fp = jnp.pad(flat_1d, (0, Mpad - M))
-
-    def fetch_chunk(fc):
-        rows = wide[fc >> 6]                                  # (chunk, 128)
-        cols = ((fc & 63) * F)[:, None] + jnp.arange(F, dtype=fc.dtype)
-        return jnp.take_along_axis(rows, cols, axis=1)        # (chunk, F)
-
-    if Mpad == chunk:
-        out = fetch_chunk(fp)
-    else:
-        out = jax.lax.map(fetch_chunk,
-                          fp.reshape(-1, chunk)).reshape(Mpad, F)
-    return out[:M]
+    return table[flat_1d]
 
 
 def _encode_fwd_impl(table, x, cfg: HashGridConfig):

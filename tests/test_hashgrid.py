@@ -167,35 +167,3 @@ def test_position_gradient_finite_difference():
     # rtol covers fp32 roundoff in the loss difference (measured ~2e-3);
     # a wrong gradient (sign/scale/boundary-mask error) is far outside it
     assert np.isclose(float(fd), an, rtol=1e-2, atol=1e-4), (float(fd), an)
-
-
-def test_wide_fetch_matches_narrow():
-    """wide_fetch (64-entry packed-row gather + lane select) is a pure
-    layout change: outputs and gradients must match the per-entry gather
-    exactly."""
-    import dataclasses
-    cfg_n = small_cfg()
-    cfg_w = dataclasses.replace(cfg_n, wide_fetch=True)
-    tab = hashgrid_init(jax.random.PRNGKey(0), cfg_n)
-    x = jax.random.uniform(jax.random.PRNGKey(1), (700, 3))
-    a = hashgrid_encode(tab, x, cfg_n)
-    b = hashgrid_encode(tab, x, cfg_w)
-    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-
-    g = jax.random.normal(jax.random.PRNGKey(2), a.shape)
-    ga = jax.grad(lambda t: jnp.vdot(hashgrid_encode(t, x, cfg_n), g))(tab)
-    gb = jax.grad(lambda t: jnp.vdot(hashgrid_encode(t, x, cfg_w), g))(tab)
-    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-6)
-
-
-def test_wide_fetch_chunked_path():
-    """M larger than one chunk exercises the lax.map branch."""
-    from arnerf_tpu.ops.hashgrid import _table_fetch
-    cfg = small_cfg()
-    cfg = __import__("dataclasses").replace(cfg, wide_fetch=True)
-    tab = jax.random.normal(jax.random.PRNGKey(0),
-                            (cfg.total_entries, 2))
-    idx = jax.random.randint(jax.random.PRNGKey(1), (3000,), 0,
-                             cfg.total_entries, jnp.int32)
-    a = _table_fetch(tab, idx, cfg, chunk=1024)
-    np.testing.assert_array_equal(np.asarray(a), np.asarray(tab[idx]))

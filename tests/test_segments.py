@@ -105,3 +105,24 @@ def test_batched_segment_sum_uniform_sizes_and_jit():
     for l in range(L):
         np.testing.assert_allclose(np.asarray(out[l * 128:(l + 1) * 128, 0]),
                                    ref, atol=1e-4)
+
+
+def test_segment_sum_heavy_collision_coarse_level():
+    """Coarse dense levels route ~2M updates into a few thousand rows
+    (each row accumulates ~500 updates); cancellation in the running
+    cumsum must not corrupt per-row sums."""
+    M, T = 2_000_000, 4096
+    k = jax.random.PRNGKey(7)
+    idx = jax.random.randint(k, (M,), 0, T, jnp.int32)
+    # alternating-sign, late-training-scale gradients
+    vals = (2e-3 * jax.random.normal(jax.random.PRNGKey(8), (M, 2))
+            ).astype(jnp.float32)
+    ref = np.zeros((T, 2), np.float64)
+    np.add.at(ref, np.asarray(idx), np.asarray(vals, np.float64))
+    out = np.asarray(dense_segment_sum(idx, vals, T, method="sort"),
+                     np.float64)
+    # per-row relative error vs the row's own magnitude + abs floor
+    err = np.abs(out - ref)
+    assert err.max() < 5e-4, err.max()
+    rel = err / (np.abs(ref) + 1e-2)
+    assert rel.max() < 0.05, rel.max()
