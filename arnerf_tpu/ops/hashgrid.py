@@ -108,26 +108,34 @@ def _level_indices(cfg: HashGridConfig):
 def _indices_weights(x: jnp.ndarray, cfg: HashGridConfig):
     """Per-sample table rows + trilinear corner weights (pure ALU).
 
-    Returns flat (N, L, 8) int32 rows, cw (N, L, 8, 3) per-dim corner
-    weights, and the `inside` mask (N, 3) where x wasn't clamped.
+    Returns flat (N, L, 8) int32 rows, cw = 3-tuple of (N, L, 8) per-dim
+    corner weights, and the `inside` mask (N, 3) where x wasn't clamped.
+
+    Everything is computed as separate per-axis arrays: tensors with a
+    trailing length-3 dim tile-pad 3 -> 128 on TPU, and XLA's remat pass
+    materializing one (N, L, 8, 3) index tensor cost 9 GB (16x padding) at
+    a 393k-sample step — the OOM bisected in scripts/tpu_bisect.py.
     """
     scales, res, hashed, offsets = _level_indices(cfg)
     T_mask = np.uint32((1 << cfg.log2_hashmap_size) - 1)
 
     inside = (x > 0.0) & (x < 1.0)
     x = jnp.clip(x, 0.0, 1.0)
-    # (N, L, 3): position in each level's grid, tcnn convention pos = x*s + 0.5
-    pos = x[:, None, :] * scales[None, :, None] + 0.5
-    i0 = jnp.floor(pos)
-    # keep the +1 corner in range for dense levels
-    i0 = jnp.clip(i0, 0.0, (res[None, :, None] - 2).astype(jnp.float32))
-    frac = pos - i0
-    i0 = i0.astype(jnp.uint32)
+    res_f = res.astype(np.float32)[None, :]
+    i0, frac = [], []
+    for d in range(3):
+        # position in each level's grid, tcnn convention pos = x*s + 0.5
+        pos_d = x[:, d:d + 1] * scales[None, :] + 0.5                 # (N, L)
+        # keep the +1 corner in range for dense levels
+        i0_d = jnp.clip(jnp.floor(pos_d), 0.0, res_f - 2)
+        frac.append(pos_d - i0_d)
+        i0.append(i0_d.astype(jnp.uint32))
 
-    corners = jnp.asarray(_CORNERS, dtype=jnp.uint32)                 # (8, 3)
-    idx3 = i0[:, :, None, :] + corners[None, None, :, :]              # (N, L, 8, 3)
+    cb = [np.ascontiguousarray(_CORNERS[:, d]) for d in range(3)]     # (8,) each
+    ix = i0[0][:, :, None] + jnp.asarray(cb[0], jnp.uint32)[None, None, :]
+    iy = i0[1][:, :, None] + jnp.asarray(cb[1], jnp.uint32)[None, None, :]
+    iz = i0[2][:, :, None] + jnp.asarray(cb[2], jnp.uint32)[None, None, :]
 
-    ix, iy, iz = idx3[..., 0], idx3[..., 1], idx3[..., 2]
     r = res.astype(np.uint32)[None, :, None]
     dense_idx = ix + iy * r + iz * (r * r)
     hash_idx = (ix ^ (iy * _PRIME_Y) ^ (iz * _PRIME_Z)) & T_mask
@@ -135,8 +143,10 @@ def _indices_weights(x: jnp.ndarray, cfg: HashGridConfig):
     flat = (idx + offsets[None, :, None]).astype(jnp.int32)           # (N, L, 8)
 
     # per-dim corner weights: frac or (1-frac) per corner bit
-    cw = jnp.where(jnp.asarray(_CORNERS, dtype=jnp.float32)[None, None, :, :] > 0,
-                   frac[:, :, None, :], 1.0 - frac[:, :, None, :])    # (N, L, 8, 3)
+    cw = tuple(
+        jnp.where(jnp.asarray(cb[d] > 0)[None, None, :],
+                  frac[d][:, :, None], 1.0 - frac[d][:, :, None])     # (N, L, 8)
+        for d in range(3))
     return flat, cw, inside
 
 
@@ -159,7 +169,7 @@ def _encode_fwd_impl(table, x, cfg: HashGridConfig):
     n = x.shape[0]
     feats = _table_fetch(table, flat.reshape(-1), cfg).reshape(
         n, cfg.n_levels, 8, cfg.n_features)
-    w = cw[..., 0] * cw[..., 1] * cw[..., 2]                          # (N, L, 8)
+    w = cw[0] * cw[1] * cw[2]                                         # (N, L, 8)
     out = jnp.sum(feats * w[..., None].astype(feats.dtype), axis=2)   # (N, L, F)
     return out.reshape(n, cfg.out_dim)
 
@@ -197,25 +207,30 @@ def _encode_bwd(cfg, res, gout):
     # --- table cotangent: sum_{n} w[n,l,c] * g[n,l,:] into row flat[n,l,c].
     # Batched per level (level-local rows): L independent (N*8 + T_l)-row
     # sorts beat one global sort — XLA sort cost is superlinear
-    # (measured 384 ms vs 476 ms at the training shape).
-    w = (cw[..., 0] * cw[..., 1] * cw[..., 2]).astype(jnp.float32)
-    upd = jnp.transpose(w[..., None] * g[:, :, None, :],
-                        (1, 0, 2, 3)).reshape(L, n * 8, F)
+    # (measured 384 ms vs 476 ms at the training shape). Per-feature
+    # columns stay separate (L, M) 2-D arrays: a trailing F=2 dim would
+    # tile-pad 2 -> 128 if materialized.
+    w = (cw[0] * cw[1] * cw[2]).astype(jnp.float32)
+    upd_cols = tuple(
+        jnp.transpose(w * g[:, :, None, f], (1, 0, 2)).reshape(L, n * 8)
+        for f in range(F))
     local = jnp.transpose(flat - offsets[None, :, None],
                           (1, 0, 2)).reshape(L, n * 8)
-    d_table = dense_segment_sum_batched(local, upd,
+    d_table = dense_segment_sum_batched(local, upd_cols,
                                         cfg.level_sizes).astype(table.dtype)
 
     # --- x cotangent: d out / d frac via per-dim weight products
     feats = _table_fetch(table, flat.reshape(-1), cfg).reshape(
         n, L, 8, F).astype(jnp.float32)
     s_c = jnp.sum(feats * g[:, :, None, :], axis=-1)                  # (N, L, 8)
-    sign = jnp.where(jnp.asarray(_CORNERS, dtype=jnp.float32) > 0, 1.0, -1.0)
-    pe = jnp.stack([cw[..., 1] * cw[..., 2],
-                    cw[..., 0] * cw[..., 2],
-                    cw[..., 0] * cw[..., 1]], axis=-1)                # (N, L, 8, 3)
-    dfrac = jnp.sum(s_c[..., None] * sign[None, None, :, :] * pe, axis=2)
-    d_x = jnp.sum(dfrac * scales[None, :, None], axis=1)              # (N, 3)
+    pe = (cw[1] * cw[2], cw[0] * cw[2], cw[0] * cw[1])
+    d_x_cols = []
+    for d in range(3):
+        sign_d = jnp.asarray(np.where(_CORNERS[:, d] > 0, 1.0, -1.0),
+                             jnp.float32)                             # (8,)
+        dfrac_d = jnp.sum(s_c * sign_d[None, None, :] * pe[d], axis=2)
+        d_x_cols.append(jnp.sum(dfrac_d * scales[None, :], axis=1))   # (N,)
+    d_x = jnp.stack(d_x_cols, axis=-1)
     d_x = jnp.where(inside, d_x, 0.0).astype(x.dtype)
     return d_table, d_x
 

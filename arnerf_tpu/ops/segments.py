@@ -74,11 +74,13 @@ def dense_segment_sum(idx, vals, num_rows: int, method: str = "auto"):
     return out.astype(vals.dtype)
 
 
-def dense_segment_sum_batched(idx, vals, sizes, method: str = "auto"):
+def dense_segment_sum_batched(idx, val_cols, sizes, method: str = "auto"):
     """Per-level dense segment sums in one batched pipeline.
 
-    idx:   (L, M) int32, level-LOCAL rows (idx[l] in [0, sizes[l]))
-    vals:  (L, M, F)
+    idx:      (L, M) int32, level-LOCAL rows (idx[l] in [0, sizes[l]))
+    val_cols: tuple of F arrays, each (L, M) — one per feature column.
+              (Separate 2-D columns rather than one (L, M, F) tensor: a
+              trailing F=2 dim tile-pads 2 -> 128 on TPU if materialized.)
     sizes: static per-level row counts
     Returns (sum(sizes), F): level outputs concatenated in order — the
     hash-table layout of ops/hashgrid.py.
@@ -89,11 +91,13 @@ def dense_segment_sum_batched(idx, vals, sizes, method: str = "auto"):
     smaller than max(sizes) are padded with INT32_MAX query keys, which
     sort to the end of each row and are sliced away after the partition.
     """
-    L, M, F = vals.shape
+    F = len(val_cols)
+    L, M = val_cols[0].shape
     if method == "auto":
         method = "sort" if _use_sort_path() else "scatter"
     if method == "scatter":
-        outs = [jnp.zeros((sizes[l], F), vals.dtype).at[idx[l]].add(vals[l])
+        outs = [jnp.zeros((sizes[l], F), val_cols[0].dtype).at[idx[l]].add(
+                    jnp.stack([c[l] for c in val_cols], axis=1))
                 for l in range(L)]
         return jnp.concatenate(outs, axis=0)
 
@@ -104,8 +108,8 @@ def dense_segment_sum_batched(idx, vals, sizes, method: str = "auto"):
                       qk[None, :], jnp.int32(0x7FFFFFFF))       # (L, T_max)
     keys = jnp.concatenate([idx.astype(jnp.int32) << 1, qkeys], axis=1)
     cols = [jnp.concatenate(
-        [vals[:, :, j].astype(jnp.float32), jnp.zeros((L, T_max))], axis=1)
-        for j in range(F)]
+        [c.astype(jnp.float32), jnp.zeros((L, T_max))], axis=1)
+        for c in val_cols]
     s = jax.lax.sort((keys, *cols), num_keys=1, dimension=1)
     s_key, s_cols = s[0], s[1:]
     cs = [jnp.cumsum(c, axis=1) for c in s_cols]
@@ -114,10 +118,16 @@ def dense_segment_sum_batched(idx, vals, sizes, method: str = "auto"):
     # queries (it sorted to the end), so the first T_max slots are exactly
     # [T_l real queries, padding...]
     part = jax.lax.sort(((s_key & 1) ^ 1, *cs), num_keys=1, dimension=1)
-    C = jnp.stack([p[:, :T_max] for p in part[1:]], axis=2)      # (L,T_max,F)
-    out = jnp.diff(C, axis=1, prepend=jnp.zeros((L, 1, F), C.dtype))
-    return jnp.concatenate([out[l, :sizes[l]] for l in range(L)],
-                           axis=0).astype(vals.dtype)
+    # per-level diff along the row axis, then concatenate level slices;
+    # stack features LAST (small (total, F) output is materialized once)
+    outs = []
+    for j in range(F):
+        C = part[1 + j][:, :T_max]                               # (L, T_max)
+        outs.append(jnp.diff(C, axis=1,
+                             prepend=jnp.zeros((L, 1), C.dtype)))
+    flat_cols = [jnp.concatenate([o[l, :sizes[l]] for l in range(L)])
+                 for o in outs]
+    return jnp.stack(flat_cols, axis=1).astype(val_cols[0].dtype)
 
 
 def dense_segment_max(idx, vals, num_rows: int, fill=0.0,

@@ -375,21 +375,23 @@ def bake_ngp(params, grid_state, cfg, resolution: int = 256,
     G = cfg.grid_size
     # occ_flat layout is row-major (x, y, z) (models/ngp.py _cell_coords)
     occ_xyz = np.asarray(grid_state.occ_flat[:G ** 3]).reshape(G, G, G) > 0
-    # dilate by one occupancy cell so boundary trilerp reads real values
-    p = np.pad(occ_xyz, 1)
-    d = np.zeros_like(occ_xyz)
+    # upsample to bake resolution FIRST, then dilate by one VOXEL:
+    # dilating at occupancy-cell granularity inflated a carved grid's bake
+    # set ~3x per axis (25% of 256^3 voxels on a converged scene)
+    rep = B // G if B >= G else 1
+    if B >= G:
+        mask = np.repeat(np.repeat(np.repeat(occ_xyz, rep, 0), rep, 1),
+                         rep, 2)
+    else:
+        s = G // B
+        mask = occ_xyz.reshape(B, s, B, s, B, s).any(axis=(1, 3, 5))
+    p = np.pad(mask, 1)
+    d = np.zeros_like(mask)
     for dx in (0, 1, 2):
         for dy in (0, 1, 2):
             for dz in (0, 1, 2):
-                d |= p[dx:dx + G, dy:dy + G, dz:dz + G]
-    # voxel (x,y,z) at resolution B maps to occupancy cell (x*G//B, ...)
-    rep = B // G if B >= G else 1
-    if B >= G:
-        mask = np.repeat(np.repeat(np.repeat(d, rep, 0), rep, 1), rep, 2)
-    else:
-        s = G // B
-        mask = d.reshape(B, s, B, s, B, s).any(axis=(1, 3, 5))
-    mask_flat = mask.reshape(-1)
+                d |= p[dx:dx + B, dy:dy + B, dz:dz + B]
+    mask_flat = d.reshape(-1)
 
     def field_fn(x, dirs):
         sigma, rgb = ngp_forward(params, x, dirs, cfg)

@@ -47,10 +47,13 @@ class TrainConfig:
     optimize_ext: bool = False
     ray_sampling_strategy: str = "all_images"
     use_exposure: bool = False
-    # True fuses [grid update + steps] into one program; False issues the
-    # grid update and the scanned steps as two programs (2 dispatches per
-    # block — workaround for a fused-program fault seen on the axon runtime)
-    fuse_grid_update: bool = False
+    # True fuses [grid update + steps] into one program (1 dispatch per
+    # block). Round 1 shipped False as a workaround for a fused-program
+    # fault on the axon runtime; the fault disappeared with the round-2
+    # scatter-free pipeline + per-axis index layout (scripts/tpu_bisect.py
+    # stages A-F all pass, including block(16)) — the crash correlated
+    # with 16x-tile-padded (..., 8|3)-trailing remat tensors blowing HBM.
+    fuse_grid_update: bool = True
     erode: bool = False                  # reference: colmap datasets only
     unit_exposure_rgb: float = 0.5       # HDR-NeRF anchor (colmap.py:94,106)
     loss: NeRFLossConfig = field(default_factory=NeRFLossConfig)

@@ -2,6 +2,7 @@
 alone, then the fused block, each executed twice and synced."""
 
 import sys
+sys.path.insert(0, "/root/repo")
 import time
 
 import numpy as np

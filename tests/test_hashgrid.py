@@ -126,7 +126,7 @@ def test_custom_vjp_sort_path_matches_scatter_path():
     g = jax.random.normal(jax.random.PRNGKey(2), (512, cfg.out_dim))
 
     flat, cw, _ = hg._indices_weights(x, cfg)
-    w = cw[..., 0] * cw[..., 1] * cw[..., 2]
+    w = cw[0] * cw[1] * cw[2]
     gr = g.reshape(512, cfg.n_levels, cfg.n_features)
     upd = (w[..., None] * gr[:, :, None, :]).reshape(-1, cfg.n_features)
     a = dense_segment_sum(flat.reshape(-1), upd, cfg.total_entries,

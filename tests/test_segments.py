@@ -84,8 +84,9 @@ def test_batched_segment_sum_matches_scatter():
                                         sizes[l], jnp.int32)
                      for l in range(L)])
     vals = jax.random.normal(k, (L, M, F), jnp.float32)
-    a = dense_segment_sum_batched(idx, vals, sizes, method="sort")
-    b = dense_segment_sum_batched(idx, vals, sizes, method="scatter")
+    cols = tuple(vals[:, :, j] for j in range(F))
+    a = dense_segment_sum_batched(idx, cols, sizes, method="sort")
+    b = dense_segment_sum_batched(idx, cols, sizes, method="scatter")
     assert a.shape == (sum(sizes), F)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                atol=2e-3, rtol=1e-4)
@@ -96,7 +97,7 @@ def test_batched_segment_sum_uniform_sizes_and_jit():
     L, M, F = 3, 999, 1
     sizes = (128, 128, 128)
     idx = jnp.stack([jnp.arange(M, dtype=jnp.int32) % 128] * L)
-    vals = jnp.ones((L, M, F))
+    vals = (jnp.ones((L, M)),)
     f = jax.jit(lambda i, v: dense_segment_sum_batched(i, v, sizes,
                                                        method="sort"))
     out = f(idx, vals)
