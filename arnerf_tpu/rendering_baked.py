@@ -383,16 +383,19 @@ def bake_ngp(params, grid_state, cfg, resolution: int = 256,
     G = cfg.grid_size
     # occ_flat layout is row-major (x, y, z) (models/ngp.py _cell_coords)
     occ_xyz = np.asarray(grid_state.occ_flat[:G ** 3]).reshape(G, G, G) > 0
-    # upsample to bake resolution FIRST, then dilate by one VOXEL:
+    # resample to bake resolution FIRST, then dilate by one VOXEL:
     # dilating at occupancy-cell granularity inflated a carved grid's bake
-    # set ~3x per axis (25% of 256^3 voxels on a converged scene)
-    rep = B // G if B >= G else 1
+    # set ~3x per axis (25% of 256^3 voxels on a converged scene).
     if B >= G:
-        mask = np.repeat(np.repeat(np.repeat(occ_xyz, rep, 0), rep, 1),
-                         rep, 2)
+        # upsample: nearest-cell map, exact for any B (incl. non-multiples
+        # of G — np.repeat assumed B % G == 0 and broke --bake_res 192)
+        ci = (np.arange(B) * G) // B
+        mask = occ_xyz[np.ix_(ci, ci, ci)]
     else:
-        s = G // B
-        mask = occ_xyz.reshape(B, s, B, s, B, s).any(axis=(1, 3, 5))
+        # downsample: conservative any-pool over each voxel's cell bucket
+        bi = (np.arange(G) * B) // G
+        mask = np.zeros((B, B, B), bool)
+        np.logical_or.at(mask, np.ix_(bi, bi, bi), occ_xyz)
     p = np.pad(mask, 1)
     d = np.zeros_like(mask)
     for dx in (0, 1, 2):

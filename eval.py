@@ -54,14 +54,30 @@ def main():
     w, h = test_ds.img_wh
     dirs = jnp.asarray(test_ds.directions)
 
+    # ARNERF_EVAL_BAKED=1: measure the baked-field fast path instead of the
+    # network renderer (LDR only; rendering_baked.py)
+    import os
+    baked = None
+    if os.environ.get('ARNERF_EVAL_BAKED', '') not in ('', '0') \
+            and rgb_act == 'Sigmoid':
+        from arnerf_tpu.rendering_baked import bake_ngp, render_baked
+        t0 = time.time()
+        baked = bake_ngp(params, grid_state, cfg)
+        print(f'baked field in {time.time() - t0:.1f}s')
+
     # FPS + PSNR loop (test.ipynb's measurement cell)
     psnrs, ssims, times = [], [], []
     for i in range(len(test_ds.poses)):
         rays_o, rays_d = get_rays(dirs, jnp.asarray(test_ds.poses[i]))
         t0 = time.time()
-        out = render_test(params, grid_state, rays_o, rays_d, cfg,
-                          exp_step_factor=exp_step_factor,
-                          T_threshold=1e-2, max_samples=96, fast=True)
+        if baked is not None:
+            out = render_baked(baked, grid_state, rays_o, rays_d, cfg,
+                               key=jax.random.PRNGKey(i),
+                               T_threshold=1e-2)
+        else:
+            out = render_test(params, grid_state, rays_o, rays_d, cfg,
+                              exp_step_factor=exp_step_factor,
+                              T_threshold=1e-2, max_samples=96, fast=True)
         jax.block_until_ready(out['rgb'])
         np.asarray(out['rgb'][:1])
         times.append(time.time() - t0)

@@ -131,3 +131,20 @@ def test_bake_ngp_smoke():
                      dtype=jnp.float32)
     assert baked.rows.shape == (32 ** 3, N_CH)
     assert np.isfinite(np.asarray(baked.rows)).all()
+
+
+def test_bake_ngp_non_multiple_resolution():
+    """--bake_res values that aren't multiples of the occupancy grid size
+    must resample correctly (192 vs G=128 silently produced a wrong-size
+    mask via np.repeat)."""
+    from arnerf_tpu.rendering_baked import bake_ngp
+    from arnerf_tpu.models.ngp import ngp_init
+    cfg = NGPConfig(scale=SCALE)
+    params = ngp_init(jax.random.PRNGKey(0), cfg)
+    gs = make_grid_state(cfg)
+    for B in (48, 96):   # one below G=128 non-divisor, one non-multiple-ish
+        baked = bake_ngp(params, gs, cfg, resolution=B, n_dirs=8,
+                         dtype=np.float32)
+        assert baked.rows.shape == (B ** 3, N_CH)
+        # occupied region must survive resampling (the sphere is solid)
+        assert float(jnp.max(baked.rows[:, 0])) > 0
