@@ -72,15 +72,23 @@ def main():
         x = jax.random.normal(jax.random.PRNGKey(0), (1 << 15, 2048))
         f = jax.jit(lambda s: s * 2.0 + 1.0)
         _sync(f(x))
+        # two roundtrip samples, keep the min (the first can carry compile
+        # or queue-drain tails and overcorrect the loop time below)
         t_r0 = time.time()
         _sync(jnp.float32(0.0))
-        roundtrip = time.time() - t_r0
+        r1 = time.time() - t_r0
+        t_r0 = time.time()
+        _sync(jnp.float32(1.0))
+        roundtrip = min(r1, time.time() - t_r0)
         t0 = time.time()
         out = x
         for _ in range(iters):
             out = f(out)
         _sync(out)
-        dt = max(time.time() - t0 - roundtrip, 1e-6) / iters
+        t_loop = time.time() - t0
+        # floor at 20% of the raw loop: never report numbers beyond any
+        # physical bandwidth because the correction ate the measurement
+        dt = max(t_loop - roundtrip, 0.2 * t_loop, 1e-4) / iters
         return (x.size * 4 * 2) / dt / 1e9
 
     def dispatch_latency_ms(iters=10):

@@ -144,21 +144,27 @@ def main():
             msg += f' test/lpips_vgg={np.mean(lpipss):.4f}'
         print(msg)
 
-    # rgb/depth videos for Synthetic-NSVF (reference train.py:301-310)
+    # rgb/depth videos for Synthetic-NSVF (reference train.py:301-310).
+    # Best-effort: imageio needs an ffmpeg/pyav backend for mp4; without
+    # one, keep the PNGs and warn instead of failing the whole run after
+    # training succeeded.
     if (not hparams.no_save_test) and hparams.dataset_name == 'nsvf' \
             and 'Synthetic' in hparams.root_dir:
-        import imageio
+        import imageio.v2 as imageio
         imgs = sorted(glob.glob(os.path.join(val_dir, '*.png')))
         rgb_frames = [imageio.imread(p) for p in imgs
                       if not p.endswith('_d.png')]
         depth_frames = [imageio.imread(p) for p in imgs
                         if p.endswith('_d.png')]
-        if rgb_frames:
-            imageio.mimsave(os.path.join(val_dir, 'rgb.mp4'), rgb_frames,
-                            fps=30, macro_block_size=1)
-        if depth_frames:
-            imageio.mimsave(os.path.join(val_dir, 'depth.mp4'), depth_frames,
-                            fps=30, macro_block_size=1)
+        try:
+            if rgb_frames:
+                imageio.mimsave(os.path.join(val_dir, 'rgb.mp4'), rgb_frames,
+                                fps=30, macro_block_size=1)
+            if depth_frames:
+                imageio.mimsave(os.path.join(val_dir, 'depth.mp4'),
+                                depth_frames, fps=30, macro_block_size=1)
+        except (ValueError, ImportError) as e:
+            print(f'video export skipped (no mp4 backend: {e})')
 
 
 if __name__ == '__main__':
