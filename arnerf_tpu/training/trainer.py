@@ -59,6 +59,9 @@ class TrainConfig:
     loss: NeRFLossConfig = field(default_factory=NeRFLossConfig)
     # TPU sample-buffer budget: avg samples/ray the compact buffer can hold
     samples_per_ray_budget: int = 32
+    # shrink the budget (recompile) once measured demand stays well under
+    # it — the reference's late-training cost drop (see _maybe_adapt_budget)
+    adaptive_budget: bool = True
     s_cap: int = MAX_SAMPLES
     max_samples: int = MAX_SAMPLES
     val_batch_size: int = 1 << 20        # reference opt.py:66-67
@@ -386,6 +389,38 @@ class NeRFTrainer:
                 time.sleep(poll_s)
         return False
 
+    # -- adaptive sample budget ---------------------------------------------
+    # The reference marches each ray to completion (no per-ray sample cap),
+    # so its per-step cost FALLS as the occupancy grid carves: late-training
+    # demand on Blender scenes drops to ~10-16 samples/ray. This trainer's
+    # fixed-shape buffer pays for `samples_per_ray_budget` slots per ray
+    # regardless of demand; shrinking the budget once measured demand stays
+    # well under it recovers the reference's late-training economics (every
+    # hot cost — gathers, backward sorts, compositing — scales with the
+    # buffer). Shrink-only, with hysteresis, and only to budgets that still
+    # exceed demand, so marching truncation never increases.
+
+    def _maybe_adapt_budget(self, rm_s: float, patience: int = 3,
+                            floor: int = 8) -> bool:
+        """rm_s: measured demanded samples/ray. Returns True on rebuild."""
+        if not self.tc.adaptive_budget or self.step < self.tc.warmup_steps:
+            return False
+        budget = self.tc.samples_per_ray_budget
+        half = budget // 2
+        if half >= floor and rm_s * 1.3 < half:
+            self._shrink_votes = getattr(self, "_shrink_votes", 0) + 1
+            if self._shrink_votes >= patience:
+                from dataclasses import replace as _replace
+                self.tc = _replace(self.tc, samples_per_ray_budget=half)
+                self._build_steps()
+                self._shrink_votes = 0
+                print(f"sample budget {budget} -> {half} "
+                      f"(demand {rm_s:.1f}/ray)", flush=True)
+                return True
+        else:
+            self._shrink_votes = 0
+        return False
+
     def fit(self, n_steps=None, log_every=1000, callback=None,
             use_blocks=True, snapshot_every_blocks=25, max_recoveries=8):
         self.on_train_start()
@@ -412,6 +447,8 @@ class NeRFTrainer:
                     if blocks_since_snap >= snapshot_every_blocks:
                         self._host_snapshot()
                         blocks_since_snap = 0
+                    if "rm_s" in last:
+                        self._maybe_adapt_budget(float(last["rm_s"]))
                 else:
                     last = self.train_step()
             except Exception as e:  # TPU worker crash / infra failure
