@@ -56,6 +56,13 @@ class NGPConfig:
     # weights/activations (tinycudann FullyFusedMLP equivalent,
     # ops/fused_head.py); False = plain XLA matmuls
     fused_head: bool = False
+    # single-corner stochastic hash-grid gathers on the TRAINING paths
+    # (render_train + density-grid updates): 8x fewer gather/update rows,
+    # trilinear in expectation (ops/hashgrid.py stochastic-corner note).
+    # Inference/eval paths stay exact regardless. Incompatible with
+    # --optimize_ext (position gradients are zero under the estimator);
+    # the trainer disables it there.
+    stoch_corners: bool = False
 
     @property
     def cdtype(self):
@@ -100,14 +107,17 @@ def ngp_init(key, cfg: NGPConfig) -> dict:
 
 
 @partial(jax.jit, static_argnames=("cfg", "return_feat"))
-def ngp_density(params, x, cfg: NGPConfig, return_feat: bool = False):
+def ngp_density(params, x, cfg: NGPConfig, return_feat: bool = False,
+                seed=None):
     """x: (N, 3) world positions in [-scale, scale]^3 -> sigmas (N,).
 
+    seed: optional traced uint32 for stochastic-corner hash gathers
+    (training paths only — see ops/hashgrid.py).
     reference: models/networks.py:95-108.
     """
     xn = (x + cfg.scale) / (2 * cfg.scale)
     table = params["hash_table"].astype(cfg.cdtype)
-    feats = hashgrid_encode(table, xn, cfg.hash_cfg)
+    feats = hashgrid_encode(table, xn, cfg.hash_cfg, seed=seed)
     h = mlp_apply(params["sigma_mlp"], feats, dtype=cfg.cdtype)
     sigmas = trunc_exp(h[:, 0].astype(jnp.float32))
     if return_feat:
@@ -128,9 +138,10 @@ def ngp_log_radiance_to_rgb(params, log_radiances, exposure=None):
 
 @partial(jax.jit, static_argnames=("cfg", "output_radiance"))
 def ngp_forward(params, x, d, cfg: NGPConfig, exposure=None,
-                output_radiance: bool = False):
+                output_radiance: bool = False, seed=None):
     """x, d: (N, 3) -> (sigmas (N,), rgbs (N, 3)).
 
+    seed: optional traced uint32 for stochastic-corner hash gathers.
     reference: models/networks.py:133-165.
     """
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True).clip(1e-12)
@@ -142,7 +153,7 @@ def ngp_forward(params, x, d, cfg: NGPConfig, exposure=None,
             head_weights_from_params
         xn = (x + cfg.scale) / (2 * cfg.scale)
         table = params["hash_table"].astype(cfg.cdtype)
-        feats = hashgrid_encode(table, xn, cfg.hash_cfg)
+        feats = hashgrid_encode(table, xn, cfg.hash_cfg, seed=seed)
         h, rgbs = fused_field_head(
             feats, d_enc, head_weights_from_params(params), cfg.cdtype,
             jax.default_backend() == "cpu")
@@ -150,7 +161,7 @@ def ngp_forward(params, x, d, cfg: NGPConfig, exposure=None,
         if cfg.rgb_act == "Sigmoid":
             rgbs = jax.nn.sigmoid(rgbs)
     else:
-        sigmas, h = ngp_density(params, x, cfg, return_feat=True)
+        sigmas, h = ngp_density(params, x, cfg, return_feat=True, seed=seed)
         rgb_in = jnp.concatenate([d_enc.astype(cfg.cdtype),
                                   h.astype(cfg.cdtype)], axis=1)
         act = "sigmoid" if cfg.rgb_act == "Sigmoid" else None
@@ -213,13 +224,22 @@ def _cells_to_world(coords, mip, cfg: NGPConfig, key=None):
     return xyz
 
 
-def _chunked_density(params, cfg: NGPConfig, xyz, chunk: int = 1 << 18):
+def _chunked_density(params, cfg: NGPConfig, xyz, chunk: int = 1 << 18,
+                     seed=None):
     """Evaluate ngp_density over a large point set in fixed-size chunks."""
     n = xyz.shape[0]
     n_pad = (-n) % chunk
     xyz_p = jnp.concatenate([xyz, jnp.zeros((n_pad, 3), xyz.dtype)])
     xs = xyz_p.reshape(-1, chunk, 3)
-    sig = jax.lax.map(lambda c: ngp_density(params, c, cfg), xs)
+    if seed is None:
+        sig = jax.lax.map(lambda c: ngp_density(params, c, cfg), xs)
+    else:
+        # fold the chunk index into the seed: the hash RNG's counter is
+        # local to each call, so chunks would otherwise share corner draws
+        ci = jnp.arange(xs.shape[0], dtype=jnp.uint32)
+        sig = jax.lax.map(
+            lambda a: ngp_density(params, a[0], cfg, seed=seed + a[1]),
+            (xs, ci))
     return sig.reshape(-1)[:n]
 
 
@@ -287,7 +307,13 @@ def update_density_grid(params, state: GridState, key, cfg: NGPConfig,
     """
     G, C = cfg.grid_size, cfg.cascades
     G3 = G ** 3
-    k_sample, k_jitter = jax.random.split(key)
+    k_sample, k_jitter, k_stoch = jax.random.split(key, 3)
+    # stochastic-corner density probes: the EMA max-decay already treats
+    # each update as a noisy re-measurement (cells are sampled at jittered
+    # positions), so the single-corner estimator's extra variance is
+    # absorbed by the same mechanism at 1/8 the gather rows
+    seed = jax.random.bits(k_stoch, dtype=jnp.uint32) \
+        if cfg.stoch_corners else None
 
     if warmup:
         idx = jnp.broadcast_to(jnp.arange(G3, dtype=jnp.int32), (C, G3))
@@ -315,7 +341,8 @@ def update_density_grid(params, state: GridState, key, cfg: NGPConfig,
                             idx.shape)
     xyz = _cells_to_world(coords.reshape(-1, 3), mips.reshape(-1), cfg,
                           key=k_jitter)
-    sig = _chunked_density(params, cfg, xyz).reshape(idx.shape)  # (C, m)
+    sig = _chunked_density(params, cfg, xyz,
+                           seed=seed).reshape(idx.shape)         # (C, m)
 
     if warmup:
         # idx enumerates every cell exactly once: the "scatter" is a reshape
@@ -352,28 +379,37 @@ def update_density_grid(params, state: GridState, key, cfg: NGPConfig,
 
 @partial(jax.jit, static_argnames=("cfg", "output_radiance", "chunk"))
 def ngp_forward_chunked(params, x, d, cfg: NGPConfig, exposure=None,
-                        output_radiance: bool = False, chunk: int = 1 << 18):
+                        output_radiance: bool = False, chunk: int = 1 << 18,
+                        seed=None):
     """ngp_forward over large point sets via lax.map sub-chunks inside one
     program (this runtime's compiler rejects single gathers much past 2^18
     samples; training stays under that, render rounds don't)."""
     n = x.shape[0]
     if n <= chunk:
         return ngp_forward(params, x, d, cfg, exposure=exposure,
-                           output_radiance=output_radiance)
+                           output_radiance=output_radiance, seed=seed)
     n_pad = (-n) % chunk
     xp = jnp.concatenate([x, jnp.zeros((n_pad, 3), x.dtype)])
     dp = jnp.concatenate([d, jnp.ones((n_pad, 3), d.dtype)])
+    n_chunks = xp.shape[0] // chunk
+    # per-chunk seed offset: the hash RNG's counter is call-local, so all
+    # chunks would otherwise share their corner draws
+    ci = (jnp.arange(n_chunks, dtype=jnp.uint32) if seed is not None
+          else jnp.zeros((n_chunks,), jnp.uint32))
+
+    def body(a):
+        s = None if seed is None else seed + a[-1]
+        kw = dict(output_radiance=output_radiance, seed=s)
+        if exposure is not None:
+            return ngp_forward(params, a[0], a[1], cfg, exposure=a[2], **kw)
+        return ngp_forward(params, a[0], a[1], cfg, **kw)
+
     if exposure is not None:
         ep = jnp.concatenate([exposure,
                               jnp.ones((n_pad, 1), exposure.dtype)])
         args = (xp.reshape(-1, chunk, 3), dp.reshape(-1, chunk, 3),
-                ep.reshape(-1, chunk, 1))
-        sig, col = jax.lax.map(
-            lambda a: ngp_forward(params, a[0], a[1], cfg, exposure=a[2],
-                                  output_radiance=output_radiance), args)
+                ep.reshape(-1, chunk, 1), ci)
     else:
-        args = (xp.reshape(-1, chunk, 3), dp.reshape(-1, chunk, 3))
-        sig, col = jax.lax.map(
-            lambda a: ngp_forward(params, a[0], a[1], cfg,
-                                  output_radiance=output_radiance), args)
+        args = (xp.reshape(-1, chunk, 3), dp.reshape(-1, chunk, 3), ci)
+    sig, col = jax.lax.map(body, args)
     return sig.reshape(-1)[:n], col.reshape(-1, 3)[:n]

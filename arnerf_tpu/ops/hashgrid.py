@@ -238,16 +238,117 @@ def _encode_bwd(cfg, res, gout):
 _encode.defvjp(_encode_fwd, _encode_bwd)
 
 
+# --------------------------------------------------------------------------
+# Stochastic-corner encoding: 1 of 8 trilinear corners per (sample, level)
+# --------------------------------------------------------------------------
+# The training step's cost is dominated by per-row gather/update issue rate
+# (~6.3 ns/row measured — DESIGN.md), and the exact encode issues
+# N x L x 8 rows forward plus as many backward updates. Sampling ONE corner
+# per (sample, level) with probability equal to its trilinear weight is the
+# single-sample Monte-Carlo estimator of the trilerp (E[f_sel] = sum_c w_c
+# f_c): the corner weights factor per axis, so each axis independently picks
+# its +1 bit with probability frac_d. This cuts forward rows AND backward
+# segment-sum update volume 8x. The same estimator is already validated for
+# rendering by rendering_baked.py's stochastic interp.
+#
+# Gradient semantics: for a FIXED seed the forward is an exact (sparse)
+# linear gather, so d_table below is the exact gradient of the sampled
+# forward — training optimizes the expectation of the objective over corner
+# draws (a smoothed objective, dropout-style). Boundary caveat: in the
+# outermost cell sliver (pos > res-1) the exact path extrapolates with a
+# negative corner-0 weight; P = clip(frac, 0, 1) saturates to the boundary
+# vertex there instead — biased only in that sliver. d_x is returned as ZERO:
+# the sampled forward is piecewise-constant in x (the position influences
+# only the sampling probabilities), so callers that need position gradients
+# (pose refinement --optimize_ext, render_surface_normal) must use the
+# deterministic path (seed=None). Enforced by the trainer, which disables
+# stochastic corners when optimize_ext is set.
+
+
+def _stoch_indices(x: jnp.ndarray, seed, cfg: HashGridConfig):
+    """One sampled corner row per (sample, level): (N, L) int32 flat rows."""
+    from .rng import hash_uniform
+    scales, res, hashed, offsets = _level_indices(cfg)
+    T_mask = np.uint32((1 << cfg.log2_hashmap_size) - 1)
+    n, L = x.shape[0], cfg.n_levels
+
+    x = jnp.clip(x, 0.0, 1.0)
+    res_f = res.astype(np.float32)[None, :]
+    # per-(sample, level) counter for the hash RNG
+    lin = (jnp.arange(n, dtype=jnp.uint32)[:, None] * np.uint32(L)
+           + jnp.arange(L, dtype=jnp.uint32)[None, :])          # (N, L)
+    idx_axes = []
+    for d in range(3):
+        pos_d = x[:, d:d + 1] * scales[None, :] + 0.5            # (N, L)
+        i0_d = jnp.clip(jnp.floor(pos_d), 0.0, res_f - 2)
+        frac_d = pos_d - i0_d
+        u_d = hash_uniform(lin, seed, stream=d + 1)
+        bit = (u_d < frac_d).astype(jnp.uint32)                  # P = frac_d
+        idx_axes.append(i0_d.astype(jnp.uint32) + bit)
+    ix, iy, iz = idx_axes
+    r = res.astype(np.uint32)[None, :]
+    dense_idx = ix + iy * r + iz * (r * r)
+    hash_idx = (ix ^ (iy * _PRIME_Y) ^ (iz * _PRIME_Z)) & T_mask
+    idx = jnp.where(hashed[None, :], hash_idx, dense_idx)
+    return (idx + offsets[None, :]).astype(jnp.int32)            # (N, L)
+
+
+def _encode_stoch_fwd_impl(table, x, seed, cfg: HashGridConfig):
+    flat = _stoch_indices(x, seed, cfg)
+    n = x.shape[0]
+    feats = _table_fetch(table, flat.reshape(-1), cfg).reshape(
+        n, cfg.n_levels, cfg.n_features)
+    return feats.reshape(n, cfg.out_dim)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _encode_stoch(table, x, seed, cfg: HashGridConfig):
+    return _encode_stoch_fwd_impl(table, x, seed, cfg)
+
+
+def _encode_stoch_fwd(table, x, seed, cfg):
+    # residuals: recompute the sampled indices in the backward (pure ALU +
+    # hash) instead of saving (N, L) rows across the whole forward
+    return _encode_stoch_fwd_impl(table, x, seed, cfg), (table, x, seed)
+
+
+def _encode_stoch_bwd(cfg, res, gout):
+    from .segments import dense_segment_sum_batched
+    table, x, seed = res
+    n = x.shape[0]
+    L, F = cfg.n_levels, cfg.n_features
+    offsets = np.asarray(cfg.offsets, dtype=np.int32)
+
+    flat = _stoch_indices(x, seed, cfg)                          # (N, L)
+    g = gout.reshape(n, L, F).astype(jnp.float32)
+    local = jnp.transpose(flat - offsets[None, :], (1, 0))       # (L, N)
+    upd_cols = tuple(jnp.transpose(g[:, :, f], (1, 0)) for f in range(F))
+    d_table = dense_segment_sum_batched(local, upd_cols,
+                                        cfg.level_sizes).astype(table.dtype)
+    d_x = jnp.zeros_like(x)   # piecewise-constant in x; see module note
+    d_seed = np.zeros(np.shape(seed), dtype=jax.dtypes.float0)
+    return d_table, d_x, d_seed
+
+
+_encode_stoch.defvjp(_encode_stoch_fwd, _encode_stoch_bwd)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def hashgrid_encode(table: jnp.ndarray, x: jnp.ndarray,
-                    cfg: HashGridConfig) -> jnp.ndarray:
+                    cfg: HashGridConfig, seed=None) -> jnp.ndarray:
     """Encode positions with the multiresolution hash grid.
 
     table: (total_entries, F) parameters
     x:     (N, 3) positions in [0, 1]^3 (out-of-range is clamped)
+    seed:  None for the exact 8-corner trilerp; a traced uint32 scalar for
+           the stochastic single-corner estimator (8x fewer gather/update
+           rows, trilinear in expectation — see the module note above).
     Returns (N, L*F) features, level-major like tcnn.
 
-    Differentiable in both table (scatter-free custom backward) and x
-    (trilinear derivative, used by render_surface_normal).
+    The exact path is differentiable in both table (scatter-free custom
+    backward) and x (trilinear derivative, used by render_surface_normal);
+    the stochastic path only in table.
     """
-    return _encode(table, x, cfg)
+    if seed is None:
+        return _encode(table, x, cfg)
+    return _encode_stoch(table, x, seed, cfg)

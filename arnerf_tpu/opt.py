@@ -68,6 +68,13 @@ def get_opts(args=None):
                         choices=['auto', 'float32', 'bfloat16'],
                         help='field-eval dtype: bf16 halves hash-gather '
                              'bandwidth (fp32 accumulation/Adam)')
+    parser.add_argument('--stoch_corners', type=str, default='auto',
+                        choices=['auto', 'on', 'off'],
+                        help='stochastic single-corner hash gathers on the '
+                             'training paths: 8x fewer gather/update rows, '
+                             'trilinear in expectation (ops/hashgrid.py). '
+                             'auto = on for accelerator backends. Ignored '
+                             'with --optimize_ext (needs position grads).')
 
     # HDR
     parser.add_argument('--train_SH_HDR_mapping', action='store_true',

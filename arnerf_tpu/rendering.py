@@ -48,16 +48,23 @@ def default_candidates(cfg: NGPConfig, exp_step_factor: float,
 
 @partial(jax.jit, static_argnames=(
     "cfg", "exp_step_factor", "T_threshold", "random_bg", "m_cap", "s_cap",
-    "max_samples", "seg_cap"))
+    "max_samples", "seg_cap", "stoch"))
 def render_train(params, grid_state, rays_o, rays_d, key, cfg: NGPConfig, *,
                  exp_step_factor: float = 0.0, T_threshold: float = 1e-4,
                  random_bg: bool = False, m_cap: int = 256 * 1024,
                  s_cap: int = MAX_SAMPLES, max_samples: int = MAX_SAMPLES,
-                 seg_cap: int = 64, exposure=None, mesh_depth_map=None):
+                 seg_cap: int = 64, exposure=None, mesh_depth_map=None,
+                 stoch: bool = False):
     """Differentiable training-path render. Returns the reference's results
     dict (rendering.py:255-298): rgb, opacity, depth, ws, deltas, ts +
-    segment layout + sample counters."""
-    k_noise, k_bg = jax.random.split(key)
+    segment layout + sample counters.
+
+    stoch=True evaluates the field with stochastic-corner hash gathers
+    (8x fewer rows, unbiased trilerp estimator — ops/hashgrid.py). Not
+    valid with --optimize_ext (position gradients vanish); the trainer
+    gates it."""
+    k_noise, k_bg, k_stoch = jax.random.split(key, 3)
+    seed = jax.random.bits(k_stoch, dtype=jnp.uint32) if stoch else None
     hits = scene_hits(rays_o, rays_d, cfg, mesh_depth_map)
     noise = jax.random.uniform(k_noise, (rays_o.shape[0],))
     occ_coarse = None
@@ -84,7 +91,7 @@ def render_train(params, grid_state, rays_o, rays_d, key, cfg: NGPConfig, *,
     if exposure is not None:
         sample_exposure = exposure[mr.ray_idx]
     sigmas, rgbs = ngp_forward(params, mr.xyzs, mr.dirs + 1e-12, cfg,
-                               exposure=sample_exposure)
+                               exposure=sample_exposure, seed=seed)
 
     comp = composite_train(sigmas, rgbs, mr.deltas, mr.ts, mr.ray_idx,
                            mr.valid, mr.ray_start, mr.counts, T_threshold)
@@ -318,18 +325,42 @@ def first_hit(grid_state_occ, occ_coarse, rays_o, rays_d, hits, cfg:
     round of wasted evals.
 
     Returns (alive (N,) bool, t_first (N,) — first occupied sample t,
-    parked > t2 for misses)."""
+    parked > t2 for misses).
+
+    A single march_rays_test call is NOT sufficient evidence of "no
+    geometry": the two-level path truncates at seg_cap occupied-DILATED
+    coarse segments per call, advancing the cursor to the end of the last
+    selected segment (ops/marching.py:339-347). A ray whose first truly
+    occupied fine sample lies beyond the seg_cap-th dilated segment (e.g.
+    grazing a surface) would be killed by a one-shot check — silently wrong
+    background pixels. So: loop on the t_next cursor until every ray either
+    found a sample or parked past t2. Untruncated rays resolve in one
+    iteration, so the loop body almost always runs once."""
     t1, t2 = hits[:, 0], hits[:, 1]
     ok = t1 >= 0
     t_cur = jnp.where(ok, t1, t2 + 1.0)
-    xyzs, deltas, ts, n_eff, t_next = march_rays_test(
-        rays_o, rays_d, t_cur, t2, grid_state_occ,
-        scale=cfg.scale, cascades=cfg.cascades,
-        exp_step_factor=exp_step_factor, grid_size=cfg.grid_size,
-        max_samples=max_samples, n_candidates=n_candidates,
-        n_samples=1, occ_coarse=occ_coarse, dt_scale=dt_scale)
-    alive = ok & (n_eff > 0)
-    t_first = jnp.where(alive, ts[:, 0], t2 + 1.0)
+
+    def cond(carry):
+        _, _, _, unresolved = carry
+        return jnp.any(unresolved)
+
+    def body(carry):
+        t_c, alive, t_first, unresolved = carry
+        xyzs, deltas, ts, n_eff, t_next = march_rays_test(
+            rays_o, rays_d, t_c, t2, grid_state_occ,
+            scale=cfg.scale, cascades=cfg.cascades,
+            exp_step_factor=exp_step_factor, grid_size=cfg.grid_size,
+            max_samples=max_samples, n_candidates=n_candidates,
+            n_samples=1, occ_coarse=occ_coarse, dt_scale=dt_scale)
+        found = unresolved & (n_eff > 0)
+        alive = alive | found
+        t_first = jnp.where(found, ts[:, 0], t_first)
+        t_c = jnp.where(unresolved, t_next, t_c)
+        unresolved = unresolved & (~found) & (t_c < t2)
+        return t_c, alive, t_first, unresolved
+
+    init = (t_cur, jnp.zeros_like(ok), t2 + 1.0, ok)
+    _, alive, t_first, _ = jax.lax.while_loop(cond, body, init)
     return alive, t_first
 
 

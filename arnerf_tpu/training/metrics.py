@@ -57,6 +57,25 @@ def ssim(pred, gt, data_range: float = 1.0):
 _LPIPS = None
 
 
+class LpipsValue(float):
+    """A float LPIPS value carrying whether TRAINED features produced it.
+
+    `trained=False` means the documented random-feature surrogate supplied
+    the features (training/lpips.py contract): such values are internally
+    consistent but NOT comparable to published LPIPS(vgg) tables, and
+    callers must label them `lpips_rand`, never `lpips_vgg`."""
+    trained: bool = False
+
+    def __new__(cls, value, trained):
+        v = super().__new__(cls, value)
+        v.trained = bool(trained)
+        return v
+
+    @property
+    def label(self):
+        return "lpips_vgg" if self.trained else "lpips_rand"
+
+
 def lpips(pred, gt):
     """LPIPS(vgg). pred, gt: (H, W, 3) numpy in [0, 1].
 
@@ -64,7 +83,8 @@ def lpips(pred, gt):
     (matches the reference's numbers exactly); otherwise the in-repo JAX
     implementation (training/lpips.py — the official net if vendored
     weights exist, else the documented random-feature surrogate).
-    Always returns a number in this image."""
+    Always returns a number in this image — an LpipsValue float whose
+    `.trained`/`.label` say whether it's comparable to published tables."""
     global _LPIPS
     try:
         if _LPIPS is None:
@@ -74,10 +94,11 @@ def lpips(pred, gt):
             _LPIPS = LearnedPerceptualImagePatchSimilarity("vgg")
     except Exception:
         from .lpips import lpips_jax
-        v, _trained = lpips_jax(pred, gt)
-        return v
+        v, trained = lpips_jax(pred, gt)
+        return LpipsValue(v, trained)
     import torch
     to_t = lambda x: torch.from_numpy(
         np.asarray(x, np.float32)).permute(2, 0, 1)[None] * 2 - 1
     with torch.no_grad():
-        return float(_LPIPS(to_t(pred).clamp(-1, 1), to_t(gt).clamp(-1, 1)))
+        return LpipsValue(float(_LPIPS(to_t(pred).clamp(-1, 1),
+                                       to_t(gt).clamp(-1, 1))), True)

@@ -150,7 +150,10 @@ def train_step_impl(params, opt_state, grid_state, images, poses, directions,
             grid_state, rays_o, rays_d, k_render, cfg,
             exp_step_factor=exp_step_factor, random_bg=tc.random_bg,
             m_cap=m_cap, s_cap=tc.s_cap, max_samples=tc.max_samples,
-            seg_cap=seg_cap, exposure=exposure)
+            seg_cap=seg_cap, exposure=exposure,
+            # stochastic corners zero the position cotangent, which
+            # --optimize_ext needs through rays_o/rays_d
+            stoch=cfg.stoch_corners and not tc.optimize_ext)
         ld = nerf_loss(results, rgb_gt, tc.loss)
         if tc.use_exposure:
             # anchor the tonemappers at unit exposure (reference

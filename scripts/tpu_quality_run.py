@@ -44,7 +44,9 @@ def main():
         test_ds = SyntheticDataset(split="test", config=scfg)
         np.savez(cache, train_rays=train_ds.rays, test_rays=test_ds.rays)
 
-    cfg = NGPConfig(scale=0.5, compute_dtype="bfloat16")  # production dtype
+    # production dtype; ARNERF_STOCH=0 opts out of stochastic corners
+    cfg = NGPConfig(scale=0.5, compute_dtype="bfloat16",
+                    stoch_corners=os.environ.get("ARNERF_STOCH", "1") != "0")
     # match the cosine LR schedule to the actual step budget: with the CLI
     # default num_epochs=30 (14400 steps) a shorter run never anneals, so
     # floaters never prune and val PSNR stalls. Distortion regularizer on

@@ -167,3 +167,122 @@ def test_position_gradient_finite_difference():
     # rtol covers fp32 roundoff in the loss difference (measured ~2e-3);
     # a wrong gradient (sign/scale/boundary-mask error) is far outside it
     assert np.isclose(float(fd), an, rtol=1e-2, atol=1e-4), (float(fd), an)
+
+
+# --------------------------------------------------------------------------
+# Stochastic-corner estimator (ops/hashgrid.py _encode_stoch)
+# --------------------------------------------------------------------------
+
+
+def test_stoch_encode_shapes_and_seed_determinism():
+    cfg = small_cfg()
+    tab = hashgrid_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (128, 3))
+    s = jnp.uint32(7)
+    a = hashgrid_encode(tab, x, cfg, seed=s)
+    b = hashgrid_encode(tab, x, cfg, seed=s)
+    c = hashgrid_encode(tab, x, cfg, seed=jnp.uint32(8))
+    assert a.shape == (128, cfg.out_dim)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.allclose(np.asarray(a), np.asarray(c))
+
+
+def test_stoch_expectation_matches_trilerp():
+    """Mean over seeds of the single-corner estimator converges to the
+    exact trilinear encode (unbiasedness — the whole point of the design)."""
+    cfg = small_cfg()
+    tab = hashgrid_init(jax.random.PRNGKey(0), cfg) * 1000.0
+    # interior points only: in the outermost cell sliver (pos > res-1, where
+    # i0 clamps to res-2 and frac > 1) the exact path linearly EXTRAPOLATES
+    # with a negative corner-0 weight, which no probability sampler can
+    # represent — there the stochastic path saturates to the boundary vertex
+    # instead (documented in ops/hashgrid.py)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (64, 3),
+                           minval=0.05, maxval=0.8)
+    exact = np.asarray(hashgrid_encode(tab, x, cfg))
+
+    n_seeds = 2000
+    f = jax.jit(lambda s: hashgrid_encode(tab, x, cfg, seed=s))
+    acc = np.zeros_like(exact, dtype=np.float64)
+    sq = np.zeros_like(exact, dtype=np.float64)
+    for s in range(n_seeds):
+        v = np.asarray(f(jnp.uint32(s * 2654435761 % (1 << 32))))
+        acc += v
+        sq += v.astype(np.float64) ** 2
+    mean = acc / n_seeds
+    std = np.sqrt(np.maximum(sq / n_seeds - mean ** 2, 0.0))
+    sem = std / np.sqrt(n_seeds) + 1e-6
+    z = np.abs(mean - exact) / sem
+    # 64*4*2=512 entries; allow 5-sigma outliers nowhere, mean z modest
+    assert z.max() < 6.0, z.max()
+    assert z.mean() < 1.5, z.mean()
+
+
+def test_stoch_corner_probabilities_match_weights():
+    """Per-axis +1-corner selection frequency must equal frac (the trilinear
+    weight factor) — checked through the encode of an axis-indicator table."""
+    # single dense level; vertex (i,j,k) stores [i, j] so the encode's
+    # outputs directly reveal which x/y corner was picked
+    cfg = HashGridConfig(n_levels=1, n_features=2, log2_hashmap_size=12,
+                         base_resolution=4, per_level_scale=2.0)
+    R = cfg.resolutions[0]
+    tab = np.zeros((cfg.total_entries, 2), np.float32)
+    for k in range(R):
+        for j in range(R):
+            for i in range(R):
+                tab[i + j * R + k * R * R] = [i, j]
+    tab = jnp.asarray(tab)
+    s0 = cfg.scales[0]
+    x = jnp.asarray([[1.3 / s0, 2.2 / s0, 1.0 / s0]], jnp.float32)
+    pos = np.asarray(x) * s0 + 0.5  # fracs: .8, .7, .5 (x,y,z)
+    frac = pos - np.floor(pos)
+
+    f = jax.jit(lambda s: hashgrid_encode(tab, x, cfg, seed=s))
+    n_seeds = 4000
+    picks = np.stack([np.asarray(f(jnp.uint32(s))) for s in range(n_seeds)])
+    base = np.floor(pos)[0]
+    px = (picks[:, 0, 0] - base[0]).mean()   # frequency of +1 in x
+    py = (picks[:, 0, 1] - base[1]).mean()
+    se = 1.0 / np.sqrt(n_seeds)
+    assert abs(px - frac[0, 0]) < 4 * se, (px, frac[0, 0])
+    assert abs(py - frac[0, 1]) < 4 * se, (py, frac[0, 1])
+
+
+def test_stoch_table_gradient_matches_manual_accumulation():
+    """Fixed seed: custom-VJP d_table == one-hot accumulation of the output
+    cotangent into the sampled rows (computed in numpy from the same
+    indices)."""
+    from arnerf_tpu.ops import hashgrid as hg
+    cfg = small_cfg()
+    tab = hashgrid_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (256, 3))
+    g = jax.random.normal(jax.random.PRNGKey(2), (256, cfg.out_dim))
+    seed = jnp.uint32(1234)
+
+    def loss(t):
+        return jnp.vdot(hashgrid_encode(t, x, cfg, seed=seed), g)
+
+    d_tab = np.asarray(jax.grad(loss)(tab))
+
+    flat = np.asarray(hg._stoch_indices(x, seed, cfg))       # (N, L)
+    gr = np.asarray(g).reshape(256, cfg.n_levels, cfg.n_features)
+    ref = np.zeros((cfg.total_entries, cfg.n_features), np.float64)
+    for n in range(256):
+        for l in range(cfg.n_levels):
+            ref[flat[n, l]] += gr[n, l]
+    np.testing.assert_allclose(d_tab, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_stoch_position_gradient_is_zero():
+    """The sampled forward is piecewise-constant in x; the VJP must return
+    exactly zero for x (callers needing d_x use the exact path)."""
+    cfg = small_cfg()
+    tab = hashgrid_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (32, 3))
+    g = jax.random.normal(jax.random.PRNGKey(2), (32, cfg.out_dim))
+
+    def loss(xx):
+        return jnp.vdot(hashgrid_encode(tab, xx, cfg, seed=jnp.uint32(5)), g)
+
+    gx = np.asarray(jax.grad(loss)(x))
+    assert (gx == 0).all()

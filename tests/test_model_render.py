@@ -236,3 +236,56 @@ def test_render_fast_empty_scene_short_circuits():
                       max_samples=256)
     assert int(out["total_samples"]) == 0
     assert np.allclose(np.asarray(out["opacity"]), 0.0)
+
+
+def test_first_hit_survives_seg_cap_truncation():
+    """ADVICE r2 (medium): a ray GRAZING a long slab has many dilated-
+    occupied coarse segments with no truly-occupied fine sample; with
+    > seg_cap(=32) such segments before its first real hit, a one-shot
+    march_rays_test call returns n_eff == 0 truncated — first_hit must keep
+    marching the cursor instead of declaring the ray dead."""
+    from arnerf_tpu.rendering import first_hit, scene_hits
+    from arnerf_tpu.ops.marching import (build_coarse_occupancy,
+                                         coarse_dilation_radius)
+    from arnerf_tpu.ops.stepping import SQRT3, num_lattice_steps
+
+    cfg = NGPConfig(scale=0.5, grid_size=128, n_levels=4,
+                    log2_hashmap_size=12, base_resolution=4)
+    G = cfg.grid_size
+    occ = np.zeros((G, G, G), np.uint8)
+    # long 1-cell line at y-idx 68 (4 fine cells off the ray's y-idx 64,
+    # same supercell -> every segment along it is dilated-occupied)
+    occ[10:110, 68, 64] = 1
+    # the actual geometry: one on-ray cell far along (+x)
+    occ[115, 64, 64] = 1
+    occ_flat = jnp.asarray(occ.reshape(-1))
+
+    dt_scale = float(cfg.cascades)  # mirror render_test's default
+    max_samples = 1024
+    occ_coarse = build_coarse_occupancy(
+        occ_flat, cfg.cascades, G,
+        dilate=coarse_dilation_radius(
+            scale=cfg.scale, exp_step_factor=0.0, grid_size=G,
+            max_samples=max_samples, dt_scale=dt_scale))
+    diag = 2 * SQRT3 * cfg.scale
+    K = num_lattice_steps(0.01, 0.01 + diag, 0.0, max_samples, G, dt_scale)
+
+    rays_o = jnp.asarray([[-0.6, 0.001, 0.001],     # grazing ray
+                          [-0.6, 0.4, 0.4]])        # control: empty space
+    rays_d = jnp.asarray([[1.0, 0.0, 0.0], [1.0, 0.0, 0.0]])
+    hits = scene_hits(rays_o, rays_d, cfg)
+
+    alive, t_first = first_hit(occ_flat, occ_coarse, rays_o, rays_d, hits,
+                               cfg, exp_step_factor=0.0,
+                               max_samples=max_samples, n_candidates=K,
+                               dt_scale=dt_scale)
+    # ground truth from the single-level path (no coarse pruning, no
+    # truncation possible in one call over the whole window)
+    alive_ref, t_ref = first_hit(occ_flat, None, rays_o, rays_d, hits,
+                                 cfg, exp_step_factor=0.0,
+                                 max_samples=max_samples, n_candidates=K,
+                                 dt_scale=dt_scale)
+    assert bool(alive_ref[0]) and not bool(alive_ref[1])
+    assert bool(alive[0]), "grazing ray killed by seg_cap truncation"
+    assert not bool(alive[1])
+    assert abs(float(t_first[0]) - float(t_ref[0])) < 1e-4

@@ -41,7 +41,9 @@ def test_all_reference_flags_present_with_defaults():
     # 30 reference flags + --compute_dtype (TPU-side addition: fp32/bf16/auto
     # field eval; 'auto' = bf16 on accelerator backends, fp32 on CPU)
     assert h["compute_dtype"] == "auto"
-    assert len(h) == 31
+    assert h["stoch_corners"] == "auto"
+    # 30 reference flags + 2 TPU-side additions
+    assert len(h) == 32
 
 
 def test_flag_overrides_parse():

@@ -88,3 +88,35 @@ def test_orbax_ckpt_roundtrip(tmp_path):
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert jax.tree.structure(opt) == jax.tree.structure(o2)
+
+
+@pytest.mark.slow
+def test_train_converges_with_stochastic_corners():
+    """Same convergence smoke as above but with stoch_corners=True (the
+    production TPU training path: single-corner hash gathers in render_train
+    AND the density-grid update probes). Quality bar matches the exact-path
+    test — the estimator must not cost meaningful PSNR at this scale."""
+    scfg = SyntheticConfig(img_wh=(64, 64), n_train=12, n_test=2,
+                           gt_samples=256)
+    train_ds = SyntheticDataset(split="train", config=scfg)
+    test_ds = SyntheticDataset(split="test", config=scfg)
+    cfg = NGPConfig(scale=0.5, grid_size=64, n_levels=8,
+                    log2_hashmap_size=15, base_resolution=16,
+                    stoch_corners=True)
+    tc = TrainConfig(batch_size=1024, lr=1e-2, num_epochs=2,
+                     steps_per_epoch=300, warmup_steps=64,
+                     samples_per_ray_budget=40, max_samples=256, s_cap=256,
+                     loss=NeRFLossConfig(grid_scale=0.5))
+    trainer = NeRFTrainer(cfg, tc, train_ds, test_ds,
+                          key=jax.random.PRNGKey(0))
+    trainer.on_train_start()
+    psnrs = []
+    for i in range(600):
+        m = trainer.train_step()
+        if (i + 1) % 150 == 0:
+            psnrs.append(float(m["psnr"]))
+    assert psnrs[-1] > 19.0, psnrs
+    # validation renders through the EXACT path (seed=None) regardless
+    val = trainer.validate(max_images=1, compute_ssim=True)
+    assert val["psnr"] > 17.0, val
+    assert val["ssim"] > 0.5, val

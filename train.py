@@ -67,8 +67,12 @@ def main():
     cdtype = hparams.compute_dtype
     if cdtype == 'auto':
         cdtype = 'float32' if jax.default_backend() == 'cpu' else 'bfloat16'
+    stoch = (jax.default_backend() != 'cpu'
+             if hparams.stoch_corners == 'auto'
+             else hparams.stoch_corners == 'on')
     cfg = NGPConfig(scale=hparams.scale, rgb_act=rgb_act,
-                    use_raw_hdr=hparams.use_EXR, compute_dtype=cdtype)
+                    use_raw_hdr=hparams.use_EXR, compute_dtype=cdtype,
+                    stoch_corners=stoch)
     tc = TrainConfig(
         batch_size=hparams.batch_size, lr=hparams.lr,
         num_epochs=hparams.num_epochs,
@@ -131,6 +135,7 @@ def main():
                 lp = lpips_fn(pred, gt)
                 if lp is not None:
                     lpipss.append(lp)
+                    lpips_label = getattr(lp, 'label', 'lpips_vgg')
         if not hparams.no_save_test:
             import imageio
             imageio.imsave(os.path.join(val_dir, f'{i:03d}.png'),
@@ -141,7 +146,9 @@ def main():
     if psnrs:
         msg = f'test/psnr={np.mean(psnrs):.3f} test/ssim={np.mean(ssims):.4f}'
         if lpipss:
-            msg += f' test/lpips_vgg={np.mean(lpipss):.4f}'
+            # surrogate-feature values must not masquerade as published-
+            # comparable LPIPS(vgg) (ADVICE r2; training/lpips.py contract)
+            msg += f' test/{lpips_label}={np.mean(lpipss):.4f}'
         print(msg)
 
     # rgb/depth videos for Synthetic-NSVF (reference train.py:301-310).
