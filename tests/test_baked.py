@@ -83,7 +83,9 @@ def test_stochastic_sampling_is_trilinear_in_expectation():
     k = jax.random.PRNGKey(0)
     xs = jnp.tile(x, (K, 1))
     shs = jnp.tile(sh_d, (K, 1))
-    jit_j = jax.random.uniform(k, (5 * K, 3))
+    # jitter is a per-axis tuple (a trailing (N, 3) dim tile-pads on TPU)
+    jit_j = tuple(jax.random.uniform(jax.random.fold_in(k, d), (5 * K,))
+                  for d in range(3))
     sig_s, rgb_s = sample_baked(rows, xs, shs, B, SCALE, "stochastic",
                                 jitter=jit_j)
     sig_mean = np.asarray(sig_s).reshape(K, 5).mean(axis=0)
@@ -148,3 +150,74 @@ def test_bake_ngp_non_multiple_resolution():
         assert baked.rows.shape == (B ** 3, N_CH)
         # occupied region must survive resampling (the sphere is solid)
         assert float(jnp.max(baked.rows[:, 0])) > 0
+
+
+def test_bake_refuses_multi_cascade():
+    """ADVICE r2: multi-cascade scenes would silently lose outer-cascade
+    content — bake_ngp must refuse rather than drop geometry."""
+    import pytest
+    from arnerf_tpu.models import NGPConfig, ngp_init, grid_state_init
+    from arnerf_tpu.rendering_baked import bake_ngp
+    cfg = NGPConfig(scale=2.0, grid_size=16, n_levels=2,
+                    log2_hashmap_size=8, base_resolution=4)
+    assert cfg.cascades > 1
+    params = ngp_init(jax.random.PRNGKey(0), cfg)
+    gs = grid_state_init(cfg)
+    with pytest.raises(ValueError, match="cascade"):
+        bake_ngp(params, gs, cfg, resolution=16)
+
+
+def test_sigma_mip_covers_density_and_only_near_density():
+    """build_sigma_mip marks exactly the dilated supercells of nonzero-sigma
+    voxels, including for B not divisible by 8."""
+    from arnerf_tpu.rendering_baked import build_sigma_mip, MIP_FACTOR
+    B = 20                                       # Bc = ceil(20/8) = 3
+    sig = np.zeros((B, B, B), np.float32)
+    sig[2, 3, 4] = 1.0                           # supercell (0, 0, 0)
+    sig[17, 17, 17] = 1.0                        # supercell (2, 2, 2)
+    mip = np.asarray(build_sigma_mip(sig.reshape(-1), B)).reshape(3, 3, 3)
+    assert mip[0, 0, 0] and mip[2, 2, 2]
+    # dilation by 1: neighbors marked
+    assert mip[1, 1, 1]
+    assert mip[0, 1, 1] and mip[1, 0, 0]
+    # (0,0,2) is 2 supercells from both sources in some axis -> unmarked
+    assert not mip[0, 0, 2] and not mip[2, 0, 0] and not mip[0, 2, 0]
+
+
+def test_mip_prelude_matches_miplless_render():
+    """The coarse-mip prelude (skip-to-surface + in-box background kill)
+    must not change the rendered image vs the mip-less path."""
+    import jax
+    from arnerf_tpu.rendering_baked import render_baked_uniform
+    B = 32
+    rng = np.random.default_rng(3)
+    rows = np.zeros((B ** 3, N_CH), np.float32)
+    # a dense ball of radius 0.15 at center
+    ax = (np.arange(B) + 0.5) / B * 2 * SCALE - SCALE
+    X, Y, Z = np.meshgrid(ax, ax, ax, indexing="ij")
+    ball = (X ** 2 + Y ** 2 + Z ** 2) < 0.15 ** 2
+    rows[ball.reshape(-1), 0] = 20.0
+    rows[ball.reshape(-1), 1] = 1.5   # r DC
+    from arnerf_tpu.rendering_baked import build_sigma_mip
+    mip = jnp.asarray(build_sigma_mip(rows[:, 0], B))
+    rows_j = jnp.asarray(rows)
+    lo = jnp.full(3, -SCALE)
+    hi = jnp.full(3, SCALE)
+    n = 64
+    ro = np.tile([[0.0, 0.0, -1.2]], (n, 1)).astype(np.float32)
+    th = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    tgt = np.stack([0.35 * np.cos(th), 0.35 * np.sin(th),
+                    np.zeros(n)], -1).astype(np.float32)
+    rd = tgt - ro
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    kw = dict(B=B, scale=SCALE, interp="trilinear", n_steps=128,
+              samples_per_round=16)
+    a = render_baked_uniform(rows_j, lo, hi, jnp.asarray(ro),
+                             jnp.asarray(rd), jax.random.PRNGKey(0), **kw)
+    b = render_baked_uniform(rows_j, lo, hi, jnp.asarray(ro),
+                             jnp.asarray(rd), jax.random.PRNGKey(0),
+                             mip=mip, **kw)
+    np.testing.assert_allclose(np.asarray(b["rgb"]), np.asarray(a["rgb"]),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(b["opacity"]),
+                               np.asarray(a["opacity"]), atol=2e-3)
