@@ -109,18 +109,32 @@ def fibonacci_sphere(n: int) -> np.ndarray:
 
 def bake_field(field_fn, scale: float, resolution: int = 256,
                occ_mask=None, n_dirs: int = 32, chunk: int = 1 << 15,
-               dtype=jnp.float32) -> BakedField:
+               dtype=jnp.float32, mean_sigma: bool = False,
+               seeded: bool = False, sh_ridge: float = 1e-3) -> BakedField:
     """Bake a radiance field into a dense SH voxel grid.
 
     field_fn(xyz (M,3), dirs (M,3)) -> (sigma (M,), rgb (M,3)); it is
     called with each voxel center repeated for `n_dirs` directions.
     occ_mask: optional (B^3,) bool (z-fastest, same layout as rows) — only
     occupied voxels are evaluated; empty rows stay zero (sigma 0).
+    mean_sigma: average sigma over the n_dirs evaluations instead of taking
+    the first — for stochastic field evaluations (bake_ngp stoch=True) the
+    per-direction RNG counters give D independent single-corner draws, so
+    the mean recovers 1/sqrt(D) of the estimator noise for free.
+    seeded: field_fn additionally takes a traced uint32 seed (varied per
+    chunk) — the hook bake_ngp uses to run stochastic-corner hash gathers.
+    sh_ridge: Tikhonov weight on the SH projection's normal equations.
+    The plain pseudoinverse is exactly-interpolating, so at low n_dirs it
+    amplifies per-direction estimator noise into high-order SH ringing;
+    the ridge trades that for a slightly smoothed view-dependence, which
+    is what lets n_dirs drop below ~24 in fast bakes.
     """
     B = resolution
     dirs = fibonacci_sphere(n_dirs)                              # (D, 3)
     basis = np.asarray(sh9_basis(jnp.asarray(dirs)))             # (D, 9)
-    pinv = np.linalg.pinv(basis)                                 # (9, D)
+    # ridge-regularized least squares: (B^T B + lam*I)^-1 B^T
+    btb = basis.T @ basis + sh_ridge * np.eye(N_SH, dtype=np.float32)
+    pinv = np.linalg.solve(btb, basis.T).astype(np.float32)      # (9, D)
 
     ax = (np.arange(B, dtype=np.float32) + 0.5) / B * 2 * scale - scale
     if occ_mask is not None:
@@ -138,24 +152,38 @@ def bake_field(field_fn, scale: float, resolution: int = 256,
     pinv_j = jnp.asarray(pinv)
 
     @jax.jit
-    def bake_chunk(c):
+    def bake_chunk(c, seed):
         m = c.shape[0]
         x_rep = jnp.repeat(c, n_dirs, axis=0)                    # (m*D, 3)
         d_rep = jnp.tile(d_j, (m, 1))
-        sigma, rgb = field_fn(x_rep, d_rep)
-        sigma = sigma.reshape(m, n_dirs)[:, 0]
+        if seeded:
+            sigma, rgb = field_fn(x_rep, d_rep, seed)
+        else:
+            sigma, rgb = field_fn(x_rep, d_rep)
+        sigma = sigma.reshape(m, n_dirs)
+        sigma = jnp.mean(sigma, axis=1) if mean_sigma else sigma[:, 0]
         rgb = rgb.reshape(m, n_dirs, 3)
         coeffs = jnp.einsum("kd,mdc->mkc", pinv_j, rgb)          # (m, 9, 3)
         return sigma, coeffs
 
-    for i in range(0, len(occ_idx), chunk):
+    # pad the voxel list to a chunk multiple: ONE compiled program serves
+    # every chunk (a trailing partial chunk would trigger a second 20-40 s
+    # remote compile that can rival the whole bake's gather time)
+    V = len(occ_idx)
+    n_chunks = -(-V // chunk)
+    if V and V % chunk:
+        centers = np.concatenate(
+            [centers, np.zeros((n_chunks * chunk - V, 3), np.float32)])
+    for ci in range(n_chunks):
+        i = ci * chunk
         c = jnp.asarray(centers[i:i + chunk])
-        sigma, coeffs = bake_chunk(c)
-        sl = occ_idx[i:i + chunk]
-        rows[sl, 0] = np.asarray(sigma)
+        sigma, coeffs = bake_chunk(c, jnp.uint32(ci))
+        n_valid = min(chunk, V - i)
+        sl = occ_idx[i:i + n_valid]
+        rows[sl, 0] = np.asarray(sigma)[:n_valid]
         # channel layout: r_sh then g_sh then b_sh
         rows[sl, 1:28] = np.asarray(
-            jnp.transpose(coeffs, (0, 2, 1)).reshape(-1, 27))
+            jnp.transpose(coeffs, (0, 2, 1)).reshape(-1, 27))[:n_valid]
 
     # tight world-space bounds of voxels that actually carry density
     # (+1 voxel margin); background rays die on pure intersection math
@@ -229,13 +257,13 @@ def sample_baked(rows, xyz, sh_d, B: int, scale: float,
 
 @partial(jax.jit, static_argnames=(
     "B", "scale", "interp", "T_threshold", "n_steps", "samples_per_round",
-    "max_rounds", "return_state"))
+    "max_rounds", "return_state", "compact"))
 def render_baked_uniform(rows, aabb_lo, aabb_hi, rays_o, rays_d, key, *,
                          B: int, scale: float, interp: str = "stochastic",
                          T_threshold: float = 1e-2, n_steps: int = 192,
                          samples_per_round: int = 32, init_state=None,
                          max_rounds: int = 0, return_state: bool = False,
-                         mip=None):
+                         mip=None, compact: bool = True):
     """Uniform-stepping baked render chunk: one compiled program per bucket,
     no host round-trips.
 
@@ -254,16 +282,31 @@ def render_baked_uniform(rows, aabb_lo, aabb_hi, rays_o, rays_d, key, *,
         costs coarse rows only. (Round-2's mip-less formulation marched
         empty space at fine rates and needed host-hop survivor compaction
         to stay afloat — the hops cost more than they saved: VERDICT r2.)
+      * IN-PROGRAM survivor compaction (compact=True): a marching round
+        costs the full bucket's N*S gather rows however few rays remain
+        alive, and a frame's cost is rounds x N*S — set by the SLOWEST ray.
+        Most rays saturate within a few rounds of their mip-given surface;
+        the tail (grazing, semi-transparent) runs many more. So when the
+        alive count first fits in N/4 (then N/16) the program reorders rays
+        alive-first with a total-order key sort + gathers (no scatter — the
+        40-90 ns/row trap, DESIGN.md) and continues the round loop on the
+        static N/4 (N/16) prefix: the tail's long marches cost tail-sized
+        fetches. The final permutation unwinds with argsort(perm) gathers,
+        ~1-2 ms per compaction — vs ~tens of ms per spared full-bucket
+        round. (This is the reference's shrinking alive-list economics,
+        reference rendering.py:191-233, under XLA static shapes; round 2's
+        host-hop variant paid 6.3 MB/bucket-phase over a ~20 MB/s tunnel,
+        in-program it's free.)
       * Per-sample stochastic-trilerp jitter comes from the counter-based
         hash RNG (ops/rng.py), not threefry — tens of millions of uniforms
         per frame made jax.random a real cost at this volume.
       * Early ray termination exits saturated rays between rounds
-        (composite_test_step), the reference's alive-list economics
-        (reference rendering.py:191-233) within a fixed shape.
+        (composite_test_step), within a fixed shape.
 
     dt spans the tight box diagonal in n_steps. State carry mirrors
     render_test_chunk: (t_cur, opacity, depth, rgb, alive, samples_done).
-    The coarse prelude runs only when init_state is None (fresh rays).
+    The coarse prelude and compaction run only when init_state is None
+    (fresh rays); state-carrying callers keep the flat loop.
     """
     from .ops.rng import hash_uniform
     N = rays_o.shape[0]
@@ -302,37 +345,45 @@ def render_baked_uniform(rows, aabb_lo, aabb_hi, rays_o, rays_d, key, *,
         t_end = jnp.minimum(
             t1 + (last_k + 1).astype(jnp.float32) * step_c, t2)
 
-    def cond(carry):
-        *_, alive, samples_done, rounds = carry
-        go = jnp.any(alive) & (samples_done < n_steps)
-        if max_rounds:
-            go = go & (rounds < max_rounds)
-        return go
+    def make_phase(ro_p, rd_p, sh_p, te_p, Np, next_n):
+        """Round loop over a static Np-ray prefix; exits when the alive set
+        fits the next phase's prefix (next_n > 0) or is done."""
+        def cond(carry):
+            *_, alive, samples_done, rounds = carry
+            n_alive = jnp.sum(alive.astype(jnp.int32))
+            go = (n_alive > 0) & (samples_done < n_steps)
+            if max_rounds:
+                go = go & (rounds < max_rounds)
+            if next_n:
+                go = go & (n_alive > next_n)
+            return go
 
-    def body(carry):
-        t_cur, opacity, depth, rgb, alive, samples_done, rounds = carry
-        ts = t_cur[:, None] + (jnp.arange(S) + 0.5) * dt       # (N, S)
-        pos = rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :]
-        flat_x = pos.reshape(N * S, 3)
-        jitter = None
-        if interp == "stochastic":
-            ctr = (jnp.uint32(rounds) * jnp.uint32(N * S)
-                   + jnp.arange(N * S, dtype=jnp.uint32))
-            jitter = tuple(hash_uniform(ctr, seed, stream=d + 1)
-                           for d in range(3))
-        sig, col = sample_baked(rows, flat_x, sh_d, B, scale,
-                                interp, jitter)
-        in_range = (ts < t_end[:, None]) & alive[:, None]
-        n_eff = jnp.sum(in_range, axis=1)
-        sig = jnp.where(in_range, sig.reshape(N, S), 0.0)
-        deltas = jnp.full((N, S), dt)
-        opacity, depth, rgb, still = composite_test_step(
-            sig, col.reshape(N, S, 3), deltas, ts, n_eff,
-            opacity, depth, rgb, T_threshold)
-        t_cur = jnp.where(alive, t_cur + S * dt, t_cur)
-        alive = alive & still & (t_cur < t_end)
-        return (t_cur, opacity, depth, rgb, alive,
-                samples_done + S, rounds + 1)
+        def body(carry):
+            t_cur, opacity, depth, rgb, alive, samples_done, rounds = carry
+            ts = t_cur[:, None] + (jnp.arange(S) + 0.5) * dt   # (Np, S)
+            pos = ro_p[:, None, :] + ts[..., None] * rd_p[:, None, :]
+            flat_x = pos.reshape(Np * S, 3)
+            jitter = None
+            if interp == "stochastic":
+                ctr = (jnp.uint32(rounds) * jnp.uint32(Np * S)
+                       + jnp.arange(Np * S, dtype=jnp.uint32))
+                jitter = tuple(hash_uniform(ctr, seed, stream=d + 1)
+                               for d in range(3))
+            sig, col = sample_baked(rows, flat_x, sh_p, B, scale,
+                                    interp, jitter)
+            in_range = (ts < te_p[:, None]) & alive[:, None]
+            n_eff = jnp.sum(in_range, axis=1)
+            sig = jnp.where(in_range, sig.reshape(Np, S), 0.0)
+            deltas = jnp.full((Np, S), dt)
+            opacity, depth, rgb, still = composite_test_step(
+                sig, col.reshape(Np, S, 3), deltas, ts, n_eff,
+                opacity, depth, rgb, T_threshold)
+            t_cur = jnp.where(alive, t_cur + S * dt, t_cur)
+            alive = alive & still & (t_cur < te_p)
+            return (t_cur, opacity, depth, rgb, alive,
+                    samples_done + S, rounds + 1)
+
+        return cond, body
 
     if init_state is None:
         alive0 = (hits[:, 0] > -0.5) & (t2 > t1)
@@ -345,13 +396,101 @@ def render_baked_uniform(rows, aabb_lo, aabb_hi, rays_o, rays_d, key, *,
                  alive0, jnp.int32(0))
     else:
         state = init_state
-    init = (*state[:5], state[5], jnp.int32(0))
-    t_cur, opacity, depth, rgb, alive, samples_done, rounds = \
-        jax.lax.while_loop(cond, body, init)
-    out = {"opacity": opacity, "depth": depth, "rgb": rgb}
+    n_prelude_alive = jnp.sum(state[4].astype(jnp.int32))
+
+    # phase sizes: full bucket, then /4, /16 prefixes (skip compaction for
+    # small buckets / state-carrying callers whose state shape must persist)
+    sizes = [N]
+    if compact and init_state is None and not return_state:
+        while len(sizes) < 3 and sizes[-1] // 4 >= 1024:
+            sizes.append(sizes[-1] // 4)
+
+    ro_p, rd_p, sh_p, te_p = rays_o, rays_d, sh_d, t_end
+    carry = (*state[:5], state[5], jnp.int32(0))
+    perms, tails = [], []
+    for pi, Np in enumerate(sizes):
+        next_n = sizes[pi + 1] if pi + 1 < len(sizes) else 0
+        cond, body = make_phase(ro_p, rd_p, sh_p, te_p, Np, next_n)
+        carry = jax.lax.while_loop(cond, body, carry)
+        if next_n:
+            t_cur, opacity, depth, rgb, alive, sd, rn = carry
+            # alive-first total-order key (strict order: no stable-sort
+            # dependence); gathers only
+            perm = jnp.argsort(
+                jnp.where(alive, 0, Np) + jnp.arange(Np, dtype=jnp.int32))
+            t_cur, opacity, depth = t_cur[perm], opacity[perm], depth[perm]
+            rgb, alive = rgb[perm], alive[perm]
+            ro_p, rd_p = ro_p[perm], rd_p[perm]
+            sh_p, te_p = sh_p[perm], te_p[perm]
+            perms.append(perm)
+            tails.append((t_cur[next_n:], opacity[next_n:], depth[next_n:],
+                          rgb[next_n:], alive[next_n:]))
+            carry = (t_cur[:next_n], opacity[:next_n], depth[:next_n],
+                     rgb[:next_n], alive[:next_n], sd, rn)
+            ro_p, rd_p = ro_p[:next_n], rd_p[:next_n]
+            sh_p, te_p = sh_p[:next_n], te_p[:next_n]
+
+    t_cur, opacity, depth, rgb, alive, samples_done, rounds = carry
+    # unwind compactions: concat the parked tail back, invert the perm
+    for perm, tail in zip(reversed(perms), reversed(tails)):
+        t_cur = jnp.concatenate([t_cur, tail[0]])
+        opacity = jnp.concatenate([opacity, tail[1]])
+        depth = jnp.concatenate([depth, tail[2]])
+        rgb = jnp.concatenate([rgb, tail[3]])
+        alive = jnp.concatenate([alive, tail[4]])
+        inv = jnp.argsort(perm)
+        t_cur, opacity, depth = t_cur[inv], opacity[inv], depth[inv]
+        rgb, alive = rgb[inv], alive[inv]
+
+    out = {"opacity": opacity, "depth": depth, "rgb": rgb,
+           # frame-anatomy counters (scalars; ~free to carry):
+           # rounds executed and rays admitted by the coarse prelude
+           "rounds": rounds,
+           "n_prelude_alive": n_prelude_alive}
     if return_state:
         out["state"] = (t_cur, opacity, depth, rgb, alive, samples_done)
     return out
+
+
+def cull_and_buckets(baked: BakedField, rays_o, rays_d, chunk: int = 1 << 18):
+    """Host-side tight-AABB cull + power-of-two bucketing.
+
+    Returns (buckets, N) where each bucket is (sl, ro, rd, n): sl the
+    original ray indices (np), ro/rd the padded device arrays, n the valid
+    count. Shared by render_baked (which composes a frame with per-bucket
+    readbacks) and by device-side FPS timing (which dispatches buckets and
+    syncs one scalar — the tunnel readback is an axon artifact, not part of
+    the renderer)."""
+    from .rendering import _pow2_bucket
+    N = rays_o.shape[0]
+    ro_np = np.asarray(rays_o, np.float32)
+    rd_np = np.asarray(rays_d, np.float32)
+    lo = np.asarray(baked.aabb_lo)
+    hi = np.asarray(baked.aabb_hi)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv = 1.0 / rd_np
+    ta = (lo[None, :] - ro_np) * inv
+    tb = (hi[None, :] - ro_np) * inv
+    t1 = np.maximum(np.minimum(ta, tb).max(axis=1), 0.0)
+    t2 = np.maximum(ta, tb).min(axis=1)
+    idx0 = np.where(t2 > t1)[0]
+    buckets = []
+    M = len(idx0)
+    if M:
+        bucket = min(chunk, _pow2_bucket(M, 4096))
+        for i in range(0, M, bucket):
+            n = min(bucket, M - i)
+            pad = bucket - n
+            sl = idx0[i:i + n]
+            # pad rays START far outside the AABB pointing away: the
+            # prelude kills them for free and their rgb stays exactly 0
+            # (a 0-origin pad sits INSIDE the object and composites color)
+            ro = jnp.asarray(np.concatenate(
+                [ro_np[sl], np.full((pad, 3), 1e6, np.float32)]))
+            rd = jnp.asarray(np.concatenate(
+                [rd_np[sl], np.ones((pad, 3), np.float32)]))
+            buckets.append((sl, ro, rd, n))
+    return buckets, N
 
 
 def render_baked(baked: BakedField, grid_state, rays_o, rays_d, cfg, *,
@@ -359,7 +498,8 @@ def render_baked(baked: BakedField, grid_state, rays_o, rays_d, cfg, *,
                  T_threshold: float = 1e-2, n_steps: int = 192,
                  samples_per_round: int = 16, chunk: int = 1 << 18,
                  phase1_rounds: int = 0, max_samples=None, prehit=None,
-                 dt_scale=None, exp_step_factor: float = 0.0):
+                 dt_scale=None, exp_step_factor: float = 0.0,
+                 stats: dict = None):
     """Full-frame baked render.
 
     Host-side work is pure math + one output readback: rays are culled
@@ -376,10 +516,9 @@ def render_baked(baked: BakedField, grid_state, rays_o, rays_d, cfg, *,
     grid_state/cfg are accepted for signature-compat with render_test;
     marching structures are not used (see render_baked_uniform).
     max_samples/prehit/dt_scale are accepted and ignored for the same
-    reason.
+    reason. Pass a dict as `stats` to receive the frame anatomy
+    (rays/buckets/rounds/row counts — DESIGN.md's accounting).
     """
-    from .rendering import _pow2_bucket
-
     if key is None:
         key = jax.random.PRNGKey(0)
     N = rays_o.shape[0]
@@ -387,32 +526,17 @@ def render_baked(baked: BakedField, grid_state, rays_o, rays_d, cfg, *,
     depth = np.zeros(N, np.float32)
     rgb = np.zeros((N, 3), np.float32)
 
-    ro_np = np.asarray(rays_o, np.float32)
-    rd_np = np.asarray(rays_d, np.float32)
-    lo = np.asarray(baked.aabb_lo)
-    hi = np.asarray(baked.aabb_hi)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        inv = 1.0 / rd_np
-    ta = (lo[None, :] - ro_np) * inv
-    tb = (hi[None, :] - ro_np) * inv
-    t1 = np.maximum(np.minimum(ta, tb).max(axis=1), 0.0)
-    t2 = np.maximum(ta, tb).min(axis=1)
-    idx0 = np.where(t2 > t1)[0]
-    if len(idx0) == 0:
-        return {"opacity": jnp.asarray(opacity), "depth": jnp.asarray(depth),
-                "rgb": jnp.asarray(rgb)}
-
-    M = len(idx0)
-    bucket = min(chunk, _pow2_bucket(M, 4096))
-    for i in range(0, M, bucket):
-        n = min(bucket, M - i)
-        pad = bucket - n
-        sl = idx0[i:i + n]
-        ro = jnp.asarray(np.concatenate(
-            [ro_np[sl], np.zeros((pad, 3), np.float32)]))
-        rd = jnp.asarray(np.concatenate(
-            [rd_np[sl], np.ones((pad, 3), np.float32)]))
-        key, k = jax.random.split(key)
+    buckets, _ = cull_and_buckets(baked, rays_o, rays_d, chunk)
+    if stats is not None:
+        stats.update(n_rays=N,
+                     n_aabb_hit=sum(n for *_, n in buckets),
+                     bucket=buckets[0][1].shape[0] if buckets else 0,
+                     dispatches=len(buckets), rounds=[],
+                     n_prelude_alive=[], samples_per_round=samples_per_round)
+    # one split for all buckets (per-bucket eager splits are a ~27 ms
+    # device dispatch each through the tunnel)
+    keys = jax.random.split(key, max(1, len(buckets)))
+    for (sl, ro, rd, n), k in zip(buckets, keys):
         res = render_baked_uniform(
             baked.rows, baked.aabb_lo, baked.aabb_hi, ro, rd, k,
             B=baked.resolution, scale=baked.scale, interp=interp,
@@ -421,18 +545,67 @@ def render_baked(baked: BakedField, grid_state, rays_o, rays_d, cfg, *,
         opacity[sl] = np.asarray(res["opacity"])[:n]
         depth[sl] = np.asarray(res["depth"])[:n]
         rgb[sl] = np.asarray(res["rgb"])[:n]
+        if stats is not None:
+            stats["rounds"].append(int(res["rounds"]))
+            stats["n_prelude_alive"].append(int(res["n_prelude_alive"]))
     return {"opacity": jnp.asarray(opacity), "depth": jnp.asarray(depth),
             "rgb": jnp.asarray(rgb)}
 
 
+def baked_frame_device_fn(baked: BakedField, rays_o, rays_d, *,
+                          interp: str = "stochastic",
+                          T_threshold: float = 1e-2, n_steps: int = 192,
+                          samples_per_round: int = 16, chunk: int = 1 << 18):
+    """Zero-readback frame function for device-side FPS measurement.
+
+    Culling/padding/bucketing happens once here; the returned frame(key)
+    dispatches every bucket and one tiny reduce program whose scalar
+    output depends on all buckets' rgb — fetching that one scalar drains
+    the device queue (utils/sync.py: block_until_ready is a no-op through
+    the axon tunnel) without paying the ~20 MB/s frame readback, which is
+    a tunnel artifact, not renderer work. All buckets share the frame key:
+    the stochastic jitter's hash-RNG counters are bucket-local, so reusing
+    the seed across buckets only correlates jitter between distinct rays
+    (harmless); per-bucket eager key splits would cost a ~27 ms dispatch
+    each."""
+    buckets, _ = cull_and_buckets(baked, rays_o, rays_d, chunk)
+    reduce_fn = jax.jit(lambda xs: sum(jnp.sum(x) for x in xs))
+
+    def frame(key):
+        outs = []
+        for sl, ro, rd, n in buckets:
+            res = render_baked_uniform(
+                baked.rows, baked.aabb_lo, baked.aabb_hi, ro, rd, key,
+                B=baked.resolution, scale=baked.scale, interp=interp,
+                T_threshold=T_threshold, n_steps=n_steps,
+                samples_per_round=samples_per_round, mip=baked.mip)
+            outs.append(res["rgb"])
+        return reduce_fn(outs) if outs else jnp.float32(0.0)
+
+    return frame
+
+
 def bake_ngp(params, grid_state, cfg, resolution: int = 256,
              n_dirs: int = 32, dtype=jnp.float32,
-             chunk: int = 1 << 12) -> BakedField:
+             chunk: int = None, stoch: str = "auto") -> BakedField:
     """Bake a trained NGP (models/ngp.py) into a BakedField.
 
     Occupancy comes from the trainer's grid (cascade 0); baked voxels are
     the occupied cells' neighborhoods dilated by 1 so trilinear reads at
     occupancy boundaries see real values.
+
+    stoch ("auto" | True | False): evaluate the field with stochastic
+    single-corner hash gathers (ops/hashgrid.py) — 8x fewer gather rows,
+    the bake's dominant cost at ~6.3 ns/row. Per-direction RNG counters
+    give n_dirs independent corner draws per voxel; sigma is averaged over
+    them (mean_sigma) and the SH least-squares projection averages the rgb
+    draws, so the estimator noise lands at ~1/sqrt(n_dirs) of a single
+    draw and disappears under volume integration + pixel averaging.
+    "auto" = on except on CPU (where gathers are cheap and tests want the
+    exact path). The stochastic path also permits 8x larger chunks under
+    the runtime's ~33M-gather-rows-per-program ceiling (DESIGN.md), which
+    cuts dispatch count — at a 256^3 bake with ~20% occupancy the exact
+    path needs ~900 dispatches at ~30 ms tunnel overhead each.
 
     Single-cascade scenes only (ADVICE r2): the bake covers the
     [-scale, scale] cube from cascade-0 occupancy, so multi-cascade
@@ -441,6 +614,13 @@ def bake_ngp(params, grid_state, cfg, resolution: int = 256,
     check cfg.cascades == 1 before baking.
     """
     from .models.ngp import ngp_forward
+    use_stoch = stoch is True or (stoch == "auto"
+                                  and jax.default_backend() != "cpu")
+    if chunk is None:
+        # keep chunk * n_dirs * rows-per-sample under the per-program
+        # gather ceiling (~33M rows, DESIGN.md): 16 levels x (8 | 1) corners
+        rows_per_sample = cfg.hash_cfg.n_levels * (1 if use_stoch else 8)
+        chunk = max(1 << 12, (1 << 24) // max(1, n_dirs * rows_per_sample))
     if cfg.cascades != 1:
         raise ValueError(
             f"bake_ngp only supports single-cascade scenes (got "
@@ -471,12 +651,15 @@ def bake_ngp(params, grid_state, cfg, resolution: int = 256,
                 d |= p[dx:dx + B, dy:dy + B, dz:dz + B]
     mask_flat = d.reshape(-1)
 
-    def field_fn(x, dirs):
-        sigma, rgb = ngp_forward(params, x, dirs, cfg)
-        return sigma, rgb
+    if use_stoch:
+        def field_fn(x, dirs, seed):
+            return ngp_forward(params, x, dirs, cfg, seed=seed)
+    else:
+        def field_fn(x, dirs):
+            return ngp_forward(params, x, dirs, cfg)
 
     # chunk * n_dirs field points per program; default keeps the peak
     # intermediate (N, L, 8, 3) index tensor well under the 16 GB HBM
     return bake_field(field_fn, cfg.scale, resolution=B,
                       occ_mask=mask_flat, n_dirs=n_dirs, dtype=dtype,
-                      chunk=chunk)
+                      chunk=chunk, seeded=use_stoch, mean_sigma=use_stoch)

@@ -108,6 +108,8 @@ def main():
     hunt_floor = _arg("--hunt_floor", 50.0, float)   # GB/s (v5e peak ~819)
     hunt_attempts = _arg("--hunt_attempts", 6)
     hunt_sleep = _arg("--hunt_sleep", 45.0, float)
+    target_db = _arg("--target_db", 33.0, float)     # BASELINE gate quality
+    race_cap_steps = _arg("--race_cap_steps", 2400)
 
     # ---- window hunt (before any heavy compile) ----------------------------
     stream0 = 0.0
@@ -150,8 +152,14 @@ def main():
     # flagship: L=16, T=2^19, 128^3 grid; bf16 field eval is the production
     # dtype (halves hash-gather bytes; fp32 accumulation + Adam).
     # --dtype float32 for CPU smoke runs (bf16 is emulated there).
+    # stochastic single-corner hash gathers are the production default on
+    # accelerators (8x fewer gather/update rows — ops/hashgrid.py); the
+    # exact path remains for CPU tests and --optimize_ext.
     dtype = _arg("--dtype", "bfloat16", str)
-    cfg = NGPConfig(scale=0.5, compute_dtype=dtype)
+    stoch_flag = _arg("--stoch", "auto", str)
+    use_stoch = (jax.default_backend() != "cpu") if stoch_flag == "auto" \
+        else stoch_flag == "on"
+    cfg = NGPConfig(scale=0.5, compute_dtype=dtype, stoch_corners=use_stoch)
     tc = TrainConfig(batch_size=8192, lr=1e-2, num_epochs=30,
                      steps_per_epoch=1000, warmup_steps=256,
                      loss=NeRFLossConfig(grid_scale=0.5))
@@ -177,12 +185,14 @@ def main():
     def model_bytes_per_step():
         es = 2 if cfg.compute_dtype == "bfloat16" else 4   # eval elem size
         hc = cfg.hash_cfg
-        n_samp = tc.batch_size * tc.samples_per_ray_budget
+        # trainer.tc: the adaptive budget may have shrunk samples/ray
+        n_samp = trainer.tc.batch_size * trainer.tc.samples_per_ray_budget
+        corners = 1 if cfg.stoch_corners else 8
         t_entries = hc.total_entries * hc.n_features
         p_bytes = t_entries * 4 + 40_000                   # params fp32
         table_cast = t_entries * (4 + es) if es == 2 else 0
-        fwd_gather = n_samp * hc.n_levels * 8 * hc.n_features * es
-        bwd_scatter = 2 * n_samp * hc.n_levels * 8 * hc.n_features * 4
+        fwd_gather = n_samp * hc.n_levels * corners * hc.n_features * es
+        bwd_scatter = 2 * n_samp * hc.n_levels * corners * hc.n_features * 4
         mlp_act = n_samp * 243 * es * 3                    # fwd+bwd+grads
         adam = 8 * p_bytes                                 # p,m,v r/w + grads
         marching = tc.batch_size * 512 * 24                # candidates+occ
@@ -222,27 +232,66 @@ def main():
         m = trainer.train_block()
     _sync(trainer.params["hash_table"])
     dt = time.time() - t0
+    train_wall = dt                      # post-compile training wall clock
     steps_per_s = n_blocks * bs / dt
     print(f"bench: early {steps_per_s:.1f} steps/s", file=sys.stderr,
           flush=True)
 
-    print("bench: advancing past warmup...", file=sys.stderr, flush=True)
-    # post-warmup throughput once the grid is carved (the steady state that
-    # dominates a 30k-step run); best-of-3 groups guards against transient
-    # pool stalls inside one group
-    while trainer.step < tc.warmup_steps + 2 * bs:
-        m = trainer.train_block()
-    _sync(trainer.params["hash_table"])
+    # warm the validation render path once (compile excluded from the race)
+    val = {"psnr": 0.0}
+    try:
+        val = trainer.validate(max_images=1, compute_ssim=False)
+    except Exception as e:
+        print(f"bench: val warmup failed ({type(e).__name__})",
+              file=sys.stderr, flush=True)
+
+    # ---- quality race: wall-clock to the BASELINE gate ---------------------
+    # The reference's headline is time-to-quality (Lego >=33 dB in <=5 min,
+    # README.md:69-71). time_to_33db_s = post-compile training wall + val
+    # wall until the first held-out snapshot >= target_db. Compiles (initial
+    # + adaptive-budget rebuilds) are excluded: the persistent compile cache
+    # makes them one-time costs across runs, and they are reported
+    # separately. steady = best sustained group throughput past warmup (the
+    # rate that dominates a 30k-step run); the adaptive sample budget runs
+    # exactly as in production fit().
+    val_wall = 0.0
+    time_to_target = -1.0
     steady = 0.0
-    group_blocks = 4
-    for _ in range(3):
+    val_every_blocks = 20
+    while trainer.step < race_cap_steps:
+        group = min(val_every_blocks,
+                    max(1, (race_cap_steps - trainer.step) // bs))
         t0 = time.time()
-        for _ in range(group_blocks):
+        for _ in range(group):
             m = trainer.train_block()
         _sync(trainer.params["hash_table"])
-        steady = max(steady, group_blocks * bs / (time.time() - t0))
-    print(f"bench: steady {steady:.1f} steps/s (best of 3)",
-          file=sys.stderr, flush=True)
+        dt = time.time() - t0
+        train_wall += dt
+        if trainer.step > tc.warmup_steps + bs:
+            steady = max(steady, group * bs / dt)
+        # production budget adaptation; the rebuild's compile stays off
+        # the race clock (single vote: rm_s here summarizes a 320-step group)
+        if trainer._maybe_adapt_budget(float(m["rm_s"]), patience=1):
+            t0 = time.time()
+            m = trainer.train_block()
+            _sync(trainer.params["hash_table"])
+            print(f"bench: budget rebuild compile {time.time() - t0:.1f}s",
+                  file=sys.stderr, flush=True)
+        t0 = time.time()
+        try:
+            val = trainer.validate(max_images=1, compute_ssim=False)
+        except Exception:
+            break
+        val_wall += time.time() - t0
+        print(f"bench: step {trainer.step} val {val['psnr']:.2f} dB "
+              f"({group * bs / dt:.1f} steps/s, "
+              f"race {train_wall + val_wall:.0f}s)",
+              file=sys.stderr, flush=True)
+        if val["psnr"] >= target_db:
+            time_to_target = train_wall + val_wall
+            break
+    print(f"bench: steady {steady:.1f} steps/s; time_to_{target_db:g}db "
+          f"{time_to_target:.0f}s", file=sys.stderr, flush=True)
 
     # delivered bandwidth in THIS window, measured right next to the timing
     try:
@@ -251,6 +300,7 @@ def main():
     except Exception:
         stream = stream0
         dispatch_ms = -1.0
+    bytes_model = model_bytes_per_step()     # at the final adapted budget
     util = (bytes_model * steady / (stream * 1e9)) if stream > 0 else 0.0
 
     # interactive render FPS at the reference's 800x800 GUI spec
@@ -265,7 +315,6 @@ def main():
     from arnerf_tpu.rendering import render_test
     print("bench: compiling render...", file=sys.stderr, flush=True)
     fps = 0.0
-    val = {"psnr": 0.0}
     try:
         rkw = dict(T_threshold=1e-2, max_samples=100, fast=True,
                    chunk=1 << 18)
@@ -278,21 +327,25 @@ def main():
                               rays_o, rays_d, cfg, **rkw)
             _sync(out["rgb"])
         fps = n_frames / (time.time() - t0)
-        val = trainer.validate(max_images=1, compute_ssim=False)
     except Exception as e:
         print(f"bench: render section failed ({type(e).__name__}); "
               "reporting training-only metrics", file=sys.stderr, flush=True)
 
     # baked-field interactive path (rendering_baked.py): bake once, then
-    # GUI-spec frames — the TPU-native answer to the reference's 36.2 FPS
+    # GUI-spec frames — the TPU-native answer to the reference's 36.2 FPS.
+    # fps_baked_device excludes the axon tunnel's ~20 MB/s frame readback
+    # (a remote-pool artifact, not renderer work); fps_baked is end-to-end
+    # including per-bucket host composition.
     fps_baked = 0.0
+    fps_baked_device = 0.0
     bake_s = 0.0
     try:
-        from arnerf_tpu.rendering_baked import bake_ngp, render_baked
+        from arnerf_tpu.rendering_baked import (bake_ngp, render_baked,
+                                                baked_frame_device_fn)
         print("bench: baking field...", file=sys.stderr, flush=True)
         t0 = time.time()
         baked = bake_ngp(trainer.model_params, trainer.grid_state, cfg,
-                         resolution=_arg("--bake_res", 192), n_dirs=16)
+                         resolution=_arg("--bake_res", 256), n_dirs=16)
         _sync(baked.rows)
         bake_s = time.time() - t0
         res = render_baked(baked, trainer.grid_state,
@@ -305,7 +358,19 @@ def main():
                                T_threshold=1e-2)
             _sync(res["rgb"])
         fps_baked = 3 / (time.time() - t0)
-        print(f"bench: baked {fps_baked:.2f} FPS (bake {bake_s:.0f}s)",
+        # device-side: all bucket dispatches, one scalar sync, keys premade
+        frame = baked_frame_device_fn(baked, rays_o, rays_d,
+                                      T_threshold=1e-2)
+        fkeys = list(jax.random.split(jax.random.PRNGKey(7), 9))
+        _sync(frame(fkeys[0]))                                   # warm
+        t0 = time.time()
+        acc = 0.0
+        for k in fkeys[1:]:
+            acc = acc + frame(k)
+        _sync(acc)
+        fps_baked_device = len(fkeys[1:]) / (time.time() - t0)
+        print(f"bench: baked {fps_baked:.2f} FPS e2e, "
+              f"{fps_baked_device:.2f} FPS device (bake {bake_s:.0f}s)",
               file=sys.stderr, flush=True)
     except Exception as e:
         print(f"bench: baked render failed ({type(e).__name__})",
@@ -317,9 +382,17 @@ def main():
         "unit": "steps/s",
         "vs_baseline": round(steady / 100.0, 3),
         "extra": {
+            "time_to_33db_s": round(time_to_target, 1),
+            "target_db": target_db,
+            "race_train_wall_s": round(train_wall, 1),
+            "race_val_wall_s": round(val_wall, 1),
+            "race_steps": trainer.step,
+            "final_sample_budget": trainer.tc.samples_per_ray_budget,
+            "stoch_corners": bool(cfg.stoch_corners),
             "early_steps_per_s": round(steps_per_s, 2),
             "render_fps_800": round(fps, 2),
             "render_fps_800_baked": round(fps_baked, 2),
+            "render_fps_800_baked_device": round(fps_baked_device, 2),
             "bake_s": round(bake_s, 1),
             "val_psnr_after_bench_steps": round(val["psnr"], 2),
             "train_psnr": round(float(m.get("psnr", 0.0)), 2),

@@ -60,8 +60,7 @@ def main():
 
     t0 = time.time()
     print("probe: baking...", file=sys.stderr, flush=True)
-    baked = bake_ngp(tr.model_params, tr.grid_state, cfg, resolution=B,
-                     chunk=1 << 12)
+    baked = bake_ngp(tr.model_params, tr.grid_state, cfg, resolution=B)
     device_sync(baked.rows)
     bake_s = time.time() - t0
     occ_frac = float((np.abs(np.asarray(
@@ -77,6 +76,21 @@ def main():
     rays_o, rays_d = get_rays(dirs800, pose)
 
     out = {"bake_s": round(bake_s, 1), "resolution": B, "occ_frac": occ_frac}
+    # frame anatomy (DESIGN.md table): rays, buckets, prelude survivors,
+    # rounds per bucket -> gather-row account
+    stats = {}
+    res = render_baked(baked, tr.grid_state, rays_o, rays_d, cfg,
+                       interp="stochastic", T_threshold=1e-2, stats=stats)
+    device_sync(res["rgb"])
+    S = stats.get("samples_per_round", 16)
+    fine_rows = sum(r * stats["bucket"] * S for r in stats["rounds"])
+    out["anatomy"] = {
+        "n_rays": stats["n_rays"], "n_aabb_hit": stats["n_aabb_hit"],
+        "n_prelude_alive": stats["n_prelude_alive"],
+        "dispatches": stats["dispatches"], "rounds": stats["rounds"],
+        "fine_rows_upper_M": round(fine_rows / 1e6, 1)}
+    print(f"probe: anatomy {out['anatomy']}", file=sys.stderr, flush=True)
+
     for interp in ("stochastic", "trilinear"):
         res = render_baked(baked, tr.grid_state, rays_o, rays_d, cfg,
                            interp=interp, T_threshold=1e-2)  # compile+warm
@@ -89,8 +103,24 @@ def main():
             device_sync(res["rgb"])
         fps = n_frames / (time.time() - t0)
         out[f"fps_{interp}"] = round(fps, 2)
-        print(f"probe: {interp} {fps:.2f} FPS @800x800",
+        print(f"probe: {interp} {fps:.2f} FPS @800x800 (end-to-end)",
               file=sys.stderr, flush=True)
+
+    # device-side FPS: bucket dispatches + one scalar sync (no tunnel
+    # frame readback — see baked_frame_device_fn)
+    from arnerf_tpu.rendering_baked import baked_frame_device_fn
+    import jax.numpy as jnp
+    frame = baked_frame_device_fn(baked, rays_o, rays_d, T_threshold=1e-2)
+    fkeys = list(jax.random.split(jax.random.PRNGKey(7), n_frames + 1))
+    device_sync(frame(fkeys[0]))
+    t0 = time.time()
+    acc = jnp.float32(0.0)
+    for k in fkeys[1:]:
+        acc = acc + frame(k)
+    device_sync(acc)
+    out["fps_device"] = round(n_frames / (time.time() - t0), 2)
+    print(f"probe: {out['fps_device']:.2f} FPS device-side",
+          file=sys.stderr, flush=True)
 
     # quality cross-check vs the network renderer on a 256x256 test view
     dirs_t = jnp.asarray(test_ds.directions)

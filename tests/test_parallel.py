@@ -20,6 +20,53 @@ def test_dp_train_step_runs_and_replicates():
     ge.dryrun_multichip(8)
 
 
+def test_dp_weak_scaling_per_device_work_flat():
+    """Weak scaling on the virtual mesh (VERDICT r2 next #7): with a
+    constant per-device ray batch, the fused [grid update + steps] block's
+    per-device work must stay ~flat as devices double — i.e. total wall
+    time ~linear in N on this single-core host (all virtual devices share
+    one core, so linear-in-N wall time IS flat per-device work). What this
+    catches: a replicated-grid-update/pmean join whose cost grows faster
+    than N (all-to-one joins, per-pair reductions) shows up as SUPERLINEAR
+    wall time and fails the efficiency bound."""
+    import time
+    from arnerf_tpu.models import NGPConfig
+    from arnerf_tpu.training import TrainConfig, NeRFTrainer
+    from arnerf_tpu.training.losses import NeRFLossConfig
+    from arnerf_tpu.datasets.synthetic import SyntheticDataset, SyntheticConfig
+
+    scfg = SyntheticConfig(img_wh=(16, 16), n_train=2, n_test=1,
+                           gt_samples=16)
+    ds = SyntheticDataset(split="train", config=scfg)
+    cfg = NGPConfig(scale=0.5, grid_size=32, n_levels=4,
+                    log2_hashmap_size=12, base_resolution=4)
+    tc = TrainConfig(batch_size=512, num_epochs=1, steps_per_epoch=10,
+                     warmup_steps=0, samples_per_ray_budget=16,
+                     update_interval=4, adaptive_budget=False,
+                     loss=NeRFLossConfig(grid_scale=0.5))
+
+    t_block = {}
+    for n_dev in (1, 2, 4, 8):
+        tr = NeRFTrainer(cfg, tc, ds, key=jax.random.PRNGKey(0),
+                         mesh=make_mesh(n_dev))
+        tr.on_train_start()
+        tr.train_block()                       # compile + warm
+        jax.block_until_ready(tr.params["hash_table"])
+        t0 = time.time()
+        for _ in range(3):
+            tr.train_block()
+        jax.block_until_ready(tr.params["hash_table"])
+        t_block[n_dev] = (time.time() - t0) / 3
+
+    # weak-scaling efficiency: time(N) / (N * time(1)); <1 when the single
+    # core overlaps device threads, >1 when per-device work grew. Bound is
+    # generous for single-core timing noise but far below the ~N trend a
+    # serialized join would produce.
+    eff = {n: t_block[n] / (n * t_block[1]) for n in t_block}
+    assert eff[8] < 1.7, f"per-device block time grew: {t_block} eff={eff}"
+    assert eff[4] < 1.7, f"per-device block time grew: {t_block} eff={eff}"
+
+
 def test_dp_gradients_join():
     """With 2 devices the joined update must differ from a single-device
     update with the same first-device key (proving the psum happened), and
