@@ -49,6 +49,12 @@ class MarchResults(NamedTuple):
     ray_start: jnp.ndarray  # (N,) segment start of each ray in the buffer
     counts: jnp.ndarray     # (N,) samples allocated per ray
     rm_samples: jnp.ndarray # () total demanded samples (reference's rm_samples)
+    # () max occupied-dilated segments any ray intersected, PRE-clamp (0 on
+    # the single-level path). The trainer's adaptive seg_cap shrinks the
+    # static segment buffer toward this measured demand — seg_cap=64 is a
+    # worst-case bound; a carved scene needs ~2-6 — and the pre-clamp value
+    # is the guard that truncation never actually happens.
+    max_nseg: jnp.ndarray = None
 
 
 def _lower_bound_rows(c_flat, rows, queries, K: int):
@@ -196,6 +202,7 @@ def march_rays_train(rays_o, rays_d, hits_t, occ_flat, noise, *,
         seg_occ = occ_coarse[cflat] > 0
         seg_elig = seg_occ & (t_seg < t2[:, None]) & ray_ok[:, None]
         c1 = jnp.cumsum(seg_elig.astype(jnp.int32), axis=1)
+        max_nseg = jnp.max(c1[:, -1])          # pre-clamp: truncation guard
         nseg = jnp.minimum(c1[:, -1], seg_cap)
         srows = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[:, None],
                                  (N, seg_cap))
@@ -217,6 +224,7 @@ def march_rays_train(rays_o, rays_d, hits_t, occ_flat, noise, *,
                               (N, K))
         slot_mask = jnp.ones((N, K), bool)
         Kf = K
+        max_nseg = jnp.int32(0)
 
     # ---- candidate lattice + occupancy test -------------------------------
     t_cand = lt(t1[:, None], ks)                               # (N, Kf)
@@ -256,7 +264,8 @@ def march_rays_train(rays_o, rays_d, hits_t, occ_flat, noise, *,
     return MarchResults(
         xyzs=xyzs * fvalid[:, None], dirs=dirs * fvalid[:, None],
         deltas=dt_m * fvalid, ts=t_m * fvalid, ray_idx=r, valid=valid,
-        ray_start=ray_start, counts=alloc, rm_samples=total_demand)
+        ray_start=ray_start, counts=alloc, rm_samples=total_demand,
+        max_nseg=max_nseg)
 
 
 @partial(jax.jit, static_argnames=(

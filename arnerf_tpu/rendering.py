@@ -111,6 +111,7 @@ def render_train(params, grid_state, rays_o, rays_d, key, cfg: NGPConfig, *,
         "ray_idx": mr.ray_idx, "valid": mr.valid,
         "ray_start": mr.ray_start, "counts": mr.counts,
         "rm_samples": mr.rm_samples, "vr_samples": comp.vr_samples,
+        "max_nseg": mr.max_nseg,
     }
 
 

@@ -62,6 +62,12 @@ class TrainConfig:
     # shrink the budget (recompile) once measured demand stays well under
     # it — the reference's late-training cost drop (see _maybe_adapt_budget)
     adaptive_budget: bool = True
+    # static cap on occupied-dilated marching segments per ray (two-level
+    # marcher). 64 is the uncarved worst case; every marching cost (fine
+    # occupancy gathers, selection binary searches) scales with it, and a
+    # carved scene needs ~2-6 — _maybe_adapt_seg_cap shrinks it toward the
+    # measured per-block max (and instantly grows it back near truncation)
+    seg_cap: int = 64
     s_cap: int = MAX_SAMPLES
     max_samples: int = MAX_SAMPLES
     val_batch_size: int = 1 << 20        # reference opt.py:66-67
@@ -178,9 +184,13 @@ def train_step_impl(params, opt_state, grid_state, images, poses, directions,
         "psnr": psnr_fn(results["rgb"], rgb_gt),
         "rm_s": results["rm_samples"] / tc.batch_size,
         "vr_s": results["vr_samples"] / tc.batch_size,
+        # float: joined with lax.pmean under the mesh
+        "nseg": results["max_nseg"].astype(jnp.float32),
     }
     if axis_name is not None:
+        nseg = metrics.pop("nseg")
         metrics = jax.lax.pmean(metrics, axis_name)
+        metrics["nseg"] = jax.lax.pmax(nseg, axis_name)  # truncation guard
     return params, opt_state, metrics
 
 
@@ -198,7 +208,10 @@ def scan_steps_impl(params, opt_state, grid_state, images, poses,
         return (p, o), metrics
 
     (params, opt_state), ms = jax.lax.scan(body, (params, opt_state), keys)
-    return params, opt_state, jax.tree.map(lambda x: x[-1], ms)
+    metrics = jax.tree.map(lambda x: x[-1], ms)
+    if "nseg" in ms:
+        metrics["nseg"] = jnp.max(ms["nseg"])    # block max, not last
+    return params, opt_state, metrics
 
 
 def train_block_impl(params, opt_state, grid_state, images, poses,
@@ -228,12 +241,14 @@ def train_block_impl(params, opt_state, grid_state, images, poses,
         p, o, metrics = train_step_impl(
             p, o, grid_state, images, poses, directions, k, 0,
             cfg=cfg, tc=tc, tx=tx, exp_step_factor=exp_step_factor,
-            axis_name=axis_name, seg_cap=0 if warmup else 64)
+            axis_name=axis_name, seg_cap=0 if warmup else tc.seg_cap)
         return (p, o), metrics
 
     keys = jax.random.split(k_steps, tc.update_interval)
     (params, opt_state), ms = jax.lax.scan(body, (params, opt_state), keys)
     metrics = jax.tree.map(lambda x: x[-1], ms)
+    if "nseg" in ms:
+        metrics["nseg"] = jnp.max(ms["nseg"])    # block max, not last
     return params, opt_state, grid_state, metrics
 
 
@@ -355,7 +370,7 @@ class NeRFTrainer:
             self.params, self.opt_state, metrics = self._scan_steps(
                 self.params, self.opt_state, self.grid_state, self.images,
                 self.poses, self.directions, keys,
-                seg_cap=0 if warm else 64)
+                seg_cap=0 if warm else self.tc.seg_cap)
         self.step += self.tc.update_interval
         return metrics
 
@@ -424,6 +439,39 @@ class NeRFTrainer:
             self._shrink_votes = 0
         return False
 
+    def _maybe_adapt_seg_cap(self, nseg: float, patience: int = 3,
+                             floor: int = 8) -> bool:
+        """nseg: measured per-block MAX occupied-dilated segments per ray
+        (pre-clamp, so values above seg_cap mean truncation is active).
+        Shrinks the marching segment buffer toward demand with hysteresis;
+        grows back IMMEDIATELY when demand approaches the cap, so marching
+        exactness (two-level == single-level, ops/marching.py) is restored
+        within one block of any density re-growth."""
+        if not self.tc.adaptive_budget or self.step < self.tc.warmup_steps:
+            return False
+        from dataclasses import replace as _replace
+        cap = self.tc.seg_cap
+        if nseg > 0.75 * cap and cap < 64:
+            self.tc = _replace(self.tc, seg_cap=min(64, cap * 2))
+            self._build_steps()
+            self._segcap_votes = 0
+            print(f"seg_cap {cap} -> {self.tc.seg_cap} "
+                  f"(demand {nseg:.0f})", flush=True)
+            return True
+        half = cap // 2
+        if half >= floor and nseg * 1.6 < half:
+            self._segcap_votes = getattr(self, "_segcap_votes", 0) + 1
+            if self._segcap_votes >= patience:
+                self.tc = _replace(self.tc, seg_cap=half)
+                self._build_steps()
+                self._segcap_votes = 0
+                print(f"seg_cap {cap} -> {half} (demand {nseg:.0f})",
+                      flush=True)
+                return True
+        else:
+            self._segcap_votes = 0
+        return False
+
     def fit(self, n_steps=None, log_every=1000, callback=None,
             use_blocks=True, snapshot_every_blocks=25, max_recoveries=8):
         self.on_train_start()
@@ -452,6 +500,8 @@ class NeRFTrainer:
                         blocks_since_snap = 0
                     if "rm_s" in last:
                         self._maybe_adapt_budget(float(last["rm_s"]))
+                    if "nseg" in last:
+                        self._maybe_adapt_seg_cap(float(last["nseg"]))
                 else:
                     last = self.train_step()
             except Exception as e:  # TPU worker crash / infra failure
@@ -497,6 +547,12 @@ class NeRFTrainer:
 
     def validate(self, max_images=None, compute_ssim=True, **render_kwargs):
         from .metrics import ssim as ssim_fn
+        # compacted fast path by default: identical compositing semantics
+        # (survivor compaction only changes which buffer a ray marches in),
+        # ~several-fold cheaper — validation snapshots were 46% of a
+        # quality-race group's wall clock on the slow masked path
+        # (VERDICT r2 weak #4)
+        render_kwargs.setdefault("fast", True)
         ds = self.test_dataset or self.dataset
         w, h = ds.img_wh
         n = len(ds.poses) if max_images is None else min(max_images,

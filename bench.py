@@ -131,9 +131,16 @@ def main():
     print(f"bench: generating data ({wh}x{wh})...", file=sys.stderr,
           flush=True)
     t0 = time.time()
-    scfg = SyntheticConfig(img_wh=(wh, wh), n_train=24, n_test=2,
+    # 100 training views = the reference's Blender density (its
+    # datasets/nerf.py trains on 100 views). 24 sparse views leave free
+    # space unconstrained: val PSNR peaks ~32 dB then decays as floaters
+    # grow (r1 finding, reconfirmed by a 24-view race this round), so the
+    # 33 dB gate is only meaningful at the reference's density.
+    views = _arg("--views", 100)
+    scfg = SyntheticConfig(img_wh=(wh, wh), n_train=views, n_test=2,
                            gt_samples=512)
-    cache = f"/tmp/arnerf_bench_data_{wh}.npz"
+    cache = f"/tmp/arnerf_bench_data_{wh}.npz" if views == 24 \
+        else f"/tmp/arnerf_bench_data_{wh}_{views}.npz"
     if os.path.exists(cache):
         blob = np.load(cache)
         train_ds = SyntheticDataset(split="train", config=scfg,
@@ -160,9 +167,15 @@ def main():
     use_stoch = (jax.default_backend() != "cpu") if stoch_flag == "auto" \
         else stoch_flag == "on"
     cfg = NGPConfig(scale=0.5, compute_dtype=dtype, stoch_corners=use_stoch)
-    tc = TrainConfig(batch_size=8192, lr=1e-2, num_epochs=30,
-                     steps_per_epoch=1000, warmup_steps=256,
-                     loss=NeRFLossConfig(grid_scale=0.5))
+    # cosine LR annealed over the race budget + distortion regularizer:
+    # floaters only prune once LR anneals and free-space density is
+    # penalized (the quality-run recipe, scripts/tpu_quality_run.py) —
+    # without both, a 24-view/constant-LR race peaks ~32 dB and decays
+    tc = TrainConfig(batch_size=8192, lr=1e-2,
+                     num_epochs=max(1, race_cap_steps // 480),
+                     steps_per_epoch=480, warmup_steps=256,
+                     loss=NeRFLossConfig(grid_scale=0.5,
+                                         lambda_distortion=1e-3))
     trainer = NeRFTrainer(cfg, tc, train_ds, test_ds,
                           key=jax.random.PRNGKey(0))
     print("bench: mark_invisible_cells...", file=sys.stderr, flush=True)
@@ -269,13 +282,17 @@ def main():
         train_wall += dt
         if trainer.step > tc.warmup_steps + bs:
             steady = max(steady, group * bs / dt)
-        # production budget adaptation; the rebuild's compile stays off
-        # the race clock (single vote: rm_s here summarizes a 320-step group)
-        if trainer._maybe_adapt_budget(float(m["rm_s"]), patience=1):
+        # production budget/seg_cap adaptation; the rebuild's compile stays
+        # off the race clock (single vote: the metrics summarize a whole
+        # group — rm_s from its last block, nseg a per-block max)
+        adapted = trainer._maybe_adapt_budget(float(m["rm_s"]), patience=1)
+        adapted |= trainer._maybe_adapt_seg_cap(float(m.get("nseg", 64)),
+                                                patience=1)
+        if adapted:
             t0 = time.time()
             m = trainer.train_block()
             _sync(trainer.params["hash_table"])
-            print(f"bench: budget rebuild compile {time.time() - t0:.1f}s",
+            print(f"bench: adapt rebuild compile {time.time() - t0:.1f}s",
                   file=sys.stderr, flush=True)
         t0 = time.time()
         try:
@@ -388,6 +405,7 @@ def main():
             "race_val_wall_s": round(val_wall, 1),
             "race_steps": trainer.step,
             "final_sample_budget": trainer.tc.samples_per_ray_budget,
+            "final_seg_cap": trainer.tc.seg_cap,
             "stoch_corners": bool(cfg.stoch_corners),
             "early_steps_per_s": round(steps_per_s, 2),
             "render_fps_800": round(fps, 2),

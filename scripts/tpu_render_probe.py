@@ -13,7 +13,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def sync(x):
-    np.asarray(jax.tree.leaves(x)[0]).ravel()[:1]
+    """Scalar-reduce sync (utils/sync.py): fetching a whole leaf times the
+    ~30 MB/s tunnel, not the device (round-3 finding; numbers recorded
+    from earlier runs of this script may carry that readback)."""
+    leaf = jax.tree.leaves(x)[0]
+    return float(np.asarray(jnp.max(jnp.abs(jnp.ravel(leaf)))
+                            .astype(jnp.float32)))
 
 
 def main():

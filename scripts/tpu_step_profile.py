@@ -24,7 +24,11 @@ sys.path.insert(0, "/root/repo")
 
 
 def sync(x):
-    np.asarray(jax.tree.leaves(x)[0]).ravel()[:1]
+    """Scalar-reduce sync (utils/sync.py): fetching a whole leaf times the
+    ~30 MB/s tunnel instead of the device."""
+    leaf = jax.tree.leaves(x)[0]
+    return float(np.asarray(jnp.max(jnp.abs(jnp.ravel(leaf)))
+                            .astype(jnp.float32)))
 
 
 def stream_gbps(iters=24):

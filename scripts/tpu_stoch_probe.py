@@ -27,7 +27,12 @@ from arnerf_tpu.rendering import render_train
 
 
 def sync(x):
-    np.asarray(jax.tree.leaves(x)[0]).ravel()[:1]
+    """Scalar-reduce sync (utils/sync.py): fetching a whole leaf times the
+    ~30 MB/s tunnel, not the device (round-3 finding; numbers recorded
+    from earlier runs of this script may carry that readback)."""
+    leaf = jax.tree.leaves(x)[0]
+    return float(np.asarray(jnp.max(jnp.abs(jnp.ravel(leaf)))
+                            .astype(jnp.float32)))
 
 
 def timeit(fn, n=6, warmup=2, name=""):

@@ -56,6 +56,44 @@ def test_budget_never_shrinks_below_demand_or_floor():
     assert tr.tc.samples_per_ray_budget == 8
 
 
+def test_seg_cap_shrinks_and_grows_back():
+    """Adaptive marching seg_cap: shrinks toward measured demand with
+    hysteresis, grows back IMMEDIATELY near truncation, and training
+    continues at every shape (metrics expose the nseg guard)."""
+    tr = make_trainer(samples_per_ray_budget=16)
+    tr.on_train_start()
+    assert tr.tc.seg_cap == 64
+    # demand 4: 4*1.6 < 32 -> three votes shrink 64 -> 32
+    for _ in range(2):
+        assert not tr._maybe_adapt_seg_cap(4.0)
+    assert tr._maybe_adapt_seg_cap(4.0)
+    assert tr.tc.seg_cap == 32
+    # keep voting: 32 -> 16 -> 8, then the floor holds (half=4 < floor)
+    for _ in range(6):
+        tr._maybe_adapt_seg_cap(4.0)
+    assert tr.tc.seg_cap == 8
+    for _ in range(5):
+        assert not tr._maybe_adapt_seg_cap(4.0)
+    assert tr.tc.seg_cap == 8
+    cap = tr.tc.seg_cap
+    # near-truncation demand: grow back instantly (single call)
+    assert tr._maybe_adapt_seg_cap(0.9 * cap)
+    assert tr.tc.seg_cap == min(64, 2 * cap)
+    # training still runs at the adapted shape, and metrics carry nseg
+    m = tr.train_step()
+    assert np.isfinite(float(m["loss"]))
+    assert "nseg" in m and float(m["nseg"]) >= 0
+
+
+def test_seg_cap_never_truncates_silently():
+    """If nseg exceeds 0.75*seg_cap while already at 64, no change (64 is
+    the exactness bound for the procedural scene's worst case)."""
+    tr = make_trainer(samples_per_ray_budget=16)
+    tr.on_train_start()
+    assert not tr._maybe_adapt_seg_cap(60.0)
+    assert tr.tc.seg_cap == 64
+
+
 def test_budget_static_when_disabled_or_warmup():
     tr = make_trainer(samples_per_ray_budget=32, adaptive_budget=False)
     for _ in range(5):
