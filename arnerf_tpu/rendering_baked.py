@@ -73,9 +73,10 @@ class BakedField(NamedTuple):
 MIP_FACTOR = 8
 
 
-def build_sigma_mip(rows_sigma: np.ndarray, B: int) -> np.ndarray:
+def build_sigma_mip(rows_sigma, B: int):
     """(B^3,) baked sigma (z-fastest) -> dilated coarse occupancy mip
-    (Bc^3,) uint8 with Bc = ceil(B/8).
+    (Bc^3,) uint8 with Bc = ceil(B/8). Pure jnp: runs on device (a host
+    version would fetch the 67 MB sigma grid through the ~MB/s tunnel).
 
     Criterion is sigma > 0: bake_field writes exactly 0 for voxels outside
     the trainer's (already conservative) occupancy mask, so the mip carves
@@ -83,18 +84,18 @@ def build_sigma_mip(rows_sigma: np.ndarray, B: int) -> np.ndarray:
     trilerp jitter (<= 1 fine voxel) and coarse-step discretization."""
     F = MIP_FACTOR
     Bc = -(-B // F)
-    sig = (np.asarray(rows_sigma).reshape(B, B, B) > 0)
+    sig = jnp.asarray(rows_sigma).reshape(B, B, B) > 0
     if Bc * F != B:
         pad = Bc * F - B
-        sig = np.pad(sig, ((0, pad),) * 3)
-    coarse = sig.reshape(Bc, F, Bc, F, Bc, F).any(axis=(1, 3, 5))
-    p = np.pad(coarse, 1)
-    d = np.zeros_like(coarse)
+        sig = jnp.pad(sig, ((0, pad),) * 3)
+    coarse = jnp.any(sig.reshape(Bc, F, Bc, F, Bc, F), axis=(1, 3, 5))
+    p = jnp.pad(coarse, 1)
+    d = jnp.zeros_like(coarse)
     for dx in (0, 1, 2):
         for dy in (0, 1, 2):
             for dz in (0, 1, 2):
-                d |= p[dx:dx + Bc, dy:dy + Bc, dz:dz + Bc]
-    return d.reshape(-1).astype(np.uint8)
+                d = d | p[dx:dx + Bc, dy:dy + Bc, dz:dz + Bc]
+    return d.reshape(-1).astype(jnp.uint8)
 
 
 def fibonacci_sphere(n: int) -> np.ndarray:
@@ -147,12 +148,18 @@ def bake_field(field_fn, scale: float, resolution: int = 256,
     vz = ax[occ_idx % B]
     centers = np.stack([vx, vy, vz], axis=-1)                    # (V, 3)
 
-    rows = np.zeros((B ** 3, N_CH), np.float32)
     d_j = jnp.asarray(dirs)
     pinv_j = jnp.asarray(pinv)
 
-    @jax.jit
-    def bake_chunk(c, seed):
+    # The whole bake ACCUMULATES ON DEVICE: round 2 composed rows on the
+    # host, which read back (sigma + 27 SH coeffs) per chunk — 3.7 MB x
+    # hundreds of chunks through the axon tunnel (~MB/s) dominated the
+    # measured 491 s 256^3 bake wall clock. Here each chunk scatters its
+    # row block into the device-resident (B^3, 32) buffer (a ~3 ms
+    # scatter, off any hot path), and the mip/AABB finalize is jnp too;
+    # the host never sees bulk data.
+    @partial(jax.jit, donate_argnums=(0,))
+    def bake_chunk(rows, c, idx, seed):
         m = c.shape[0]
         x_rep = jnp.repeat(c, n_dirs, axis=0)                    # (m*D, 3)
         d_rep = jnp.tile(d_j, (m, 1))
@@ -164,45 +171,53 @@ def bake_field(field_fn, scale: float, resolution: int = 256,
         sigma = jnp.mean(sigma, axis=1) if mean_sigma else sigma[:, 0]
         rgb = rgb.reshape(m, n_dirs, 3)
         coeffs = jnp.einsum("kd,mdc->mkc", pinv_j, rgb)          # (m, 9, 3)
-        return sigma, coeffs
+        block = jnp.concatenate(
+            [sigma[:, None].astype(jnp.float32),
+             jnp.transpose(coeffs, (0, 2, 1)).reshape(m, 27)
+             .astype(jnp.float32),
+             jnp.zeros((m, N_CH - 28), jnp.float32)], axis=1)
+        # pad entries carry idx == B^3 (out of range) -> dropped
+        return rows.at[idx].set(block, mode="drop")
 
+    @jax.jit
+    def finalize(rows):
+        """Tight world-space bounds of density-carrying voxels (+1 voxel
+        margin) and the coarse sigma mip, all on device."""
+        occ3 = (rows[:, 0] > 1e-4).reshape(B, B, B)
+        any_occ = jnp.any(occ3)
+        vox = 2 * scale / B
+        los, his = [], []
+        for axis, red in ((0, (1, 2)), (1, (0, 2)), (2, (0, 1))):
+            m = jnp.any(occ3, axis=red)                          # (B,)
+            first = jnp.argmax(m)
+            last = B - 1 - jnp.argmax(m[::-1])
+            los.append(first.astype(jnp.float32) * vox - scale - vox)
+            his.append((last.astype(jnp.float32) + 1) * vox - scale + vox)
+        aabb_lo = jnp.where(any_occ, jnp.stack(los), jnp.full(3, -scale))
+        aabb_hi = jnp.where(any_occ, jnp.stack(his), jnp.full(3, scale))
+        return (rows.astype(dtype), aabb_lo, aabb_hi,
+                build_sigma_mip(rows[:, 0], B))
+
+    rows = jnp.zeros((B ** 3, N_CH), jnp.float32)
     # pad the voxel list to a chunk multiple: ONE compiled program serves
     # every chunk (a trailing partial chunk would trigger a second 20-40 s
     # remote compile that can rival the whole bake's gather time)
     V = len(occ_idx)
     n_chunks = -(-V // chunk)
     if V and V % chunk:
+        pad_n = n_chunks * chunk - V
         centers = np.concatenate(
-            [centers, np.zeros((n_chunks * chunk - V, 3), np.float32)])
+            [centers, np.zeros((pad_n, 3), np.float32)])
+        occ_idx = np.concatenate(
+            [occ_idx, np.full(pad_n, B ** 3, occ_idx.dtype)])
     for ci in range(n_chunks):
         i = ci * chunk
-        c = jnp.asarray(centers[i:i + chunk])
-        sigma, coeffs = bake_chunk(c, jnp.uint32(ci))
-        n_valid = min(chunk, V - i)
-        sl = occ_idx[i:i + n_valid]
-        rows[sl, 0] = np.asarray(sigma)[:n_valid]
-        # channel layout: r_sh then g_sh then b_sh
-        rows[sl, 1:28] = np.asarray(
-            jnp.transpose(coeffs, (0, 2, 1)).reshape(-1, 27))[:n_valid]
-
-    # tight world-space bounds of voxels that actually carry density
-    # (+1 voxel margin); background rays die on pure intersection math
-    occupied = rows[:, 0] > 1e-4
-    vox = 2 * scale / B
-    if occupied.any():
-        oi = np.nonzero(occupied)[0]
-        ox, oy, oz = oi // (B * B), (oi // B) % B, oi % B
-        aabb_lo = np.array([ox.min(), oy.min(), oz.min()], np.float32) \
-            * vox - scale - vox
-        aabb_hi = (np.array([ox.max(), oy.max(), oz.max()], np.float32) + 1) \
-            * vox - scale + vox
-    else:
-        aabb_lo = np.full(3, -scale, np.float32)
-        aabb_hi = np.full(3, scale, np.float32)
-    return BakedField(rows=jnp.asarray(rows, dtype), resolution=B,
-                      scale=scale, aabb_lo=jnp.asarray(aabb_lo),
-                      aabb_hi=jnp.asarray(aabb_hi),
-                      mip=jnp.asarray(build_sigma_mip(rows[:, 0], B)))
+        rows = bake_chunk(rows, jnp.asarray(centers[i:i + chunk]),
+                          jnp.asarray(occ_idx[i:i + chunk], jnp.int32),
+                          jnp.uint32(ci))
+    rows, aabb_lo, aabb_hi, mip = finalize(rows)
+    return BakedField(rows=rows, resolution=B, scale=scale,
+                      aabb_lo=aabb_lo, aabb_hi=aabb_hi, mip=mip)
 
 
 def sample_baked(rows, xyz, sh_d, B: int, scale: float,
@@ -408,10 +423,13 @@ def render_baked_uniform(rows, aabb_lo, aabb_hi, rays_o, rays_d, key, *,
     ro_p, rd_p, sh_p, te_p = rays_o, rays_d, sh_d, t_end
     carry = (*state[:5], state[5], jnp.int32(0))
     perms, tails = [], []
+    phase_rounds, phase_alive = [], []   # frame-anatomy counters
     for pi, Np in enumerate(sizes):
         next_n = sizes[pi + 1] if pi + 1 < len(sizes) else 0
         cond, body = make_phase(ro_p, rd_p, sh_p, te_p, Np, next_n)
         carry = jax.lax.while_loop(cond, body, carry)
+        phase_rounds.append(carry[6])
+        phase_alive.append(jnp.sum(carry[4].astype(jnp.int32)))
         if next_n:
             t_cur, opacity, depth, rgb, alive, sd, rn = carry
             # alive-first total-order key (strict order: no stable-sort
@@ -444,9 +462,15 @@ def render_baked_uniform(rows, aabb_lo, aabb_hi, rays_o, rays_d, key, *,
 
     out = {"opacity": opacity, "depth": depth, "rgb": rgb,
            # frame-anatomy counters (scalars; ~free to carry):
-           # rounds executed and rays admitted by the coarse prelude
+           # rounds executed and rays admitted by the coarse prelude, plus
+           # the CUMULATIVE round count and alive count at each phase exit
+           # (phase sizes are `sizes`) — the row-count model in DESIGN.md is
+           # sum_p (rounds_p - rounds_{p-1}) * sizes_p * S
            "rounds": rounds,
-           "n_prelude_alive": n_prelude_alive}
+           "n_prelude_alive": n_prelude_alive,
+           "phase_rounds": jnp.stack(phase_rounds),
+           "phase_alive": jnp.stack(phase_alive),
+           "phase_sizes": jnp.asarray(sizes, jnp.int32)}
     if return_state:
         out["state"] = (t_cur, opacity, depth, rgb, alive, samples_done)
     return out
