@@ -131,6 +131,9 @@ def main():
                             maxval=scale * 0.7)
     sh_d = sh9_basis(rd / jnp.linalg.norm(rd, -1, keepdims=True).clip(1e-12))
 
+    # NOTE: every jitted probe takes the big arrays (rows/mip/sh_d) as
+    # ARGUMENTS — closures embed them as constants and the remote compile
+    # rejects the program body (HTTP 413; round-2 measurement rule).
     @jax.jit
     def rng_only(seed):
         ctr = jnp.arange(M, dtype=jnp.uint32)
@@ -138,7 +141,7 @@ def main():
                    for d in range(3))
 
     @jax.jit
-    def fetch_only(x):
+    def fetch_only(rows, x):
         u = (x + scale) / (2 * scale) * B - 0.5
         ii = (jnp.clip(u[:, 0].astype(jnp.int32), 0, B - 1) * (B * B)
               + jnp.clip(u[:, 1].astype(jnp.int32), 0, B - 1) * B
@@ -146,20 +149,20 @@ def main():
         return rows[ii].astype(jnp.float32).sum()
 
     @jax.jit
-    def fetch_decode(x, seed):
+    def fetch_decode(rows, sh_d, x, seed):
         ctr = jnp.arange(M, dtype=jnp.uint32)
         jit3 = tuple(hash_uniform(ctr, seed, stream=d + 1) for d in range(3))
         sig, col = sample_baked(rows, x, sh_d, B, scale, "stochastic", jit3)
         return sig.sum() + col.sum()
 
     @jax.jit
-    def full_round(x, seed, t_cur):
+    def full_round(rows, sh_d, lo, hi, x, seed, t_cur):
         """One marching round exactly as the body does it: RNG + fetch +
         decode + composite."""
         ctr = jnp.arange(M, dtype=jnp.uint32)
         jit3 = tuple(hash_uniform(ctr, seed, stream=d + 1) for d in range(3))
         sig, col = sample_baked(rows, x, sh_d, B, scale, "stochastic", jit3)
-        dt = jnp.linalg.norm(baked.aabb_hi - baked.aabb_lo) / n_steps
+        dt = jnp.linalg.norm(hi - lo) / n_steps
         ts = t_cur[:, None] + (jnp.arange(S) + 0.5) * dt
         n_eff = jnp.full((Np,), S, jnp.int32)
         opacity, depth, rgb, still = composite_test_step(
@@ -174,11 +177,9 @@ def main():
     Kc = int(np.ceil(2 * np.sqrt(3.0) * scale / step_c)) + 2
 
     @jax.jit
-    def prelude_only(ro, rd):
+    def prelude_only(mip, lo, hi, ro, rd):
         from arnerf_tpu.ops.intersection import ray_aabb_intersect_single
-        hits = ray_aabb_intersect_single(
-            ro, rd, (baked.aabb_lo + baked.aabb_hi) / 2,
-            (baked.aabb_hi - baked.aabb_lo) / 2)
+        hits = ray_aabb_intersect_single(ro, rd, (lo + hi) / 2, (hi - lo) / 2)
         t1 = jnp.maximum(hits[:, 0], 0.0)
         t2 = hits[:, 1]
         t_c = t1[:, None] + (jnp.arange(Kc) + 0.5) * step_c
@@ -194,14 +195,17 @@ def main():
     print(f"--- components at bucket {Np} x S={S} "
           f"({M / 1e6:.1f}M rows/round) ---", flush=True)
     t_rng = timeit(lambda: rng_only(seed), name="rng_only (3 streams)")
-    t_fetch = timeit(lambda: fetch_only(kx), name="fetch_only")
-    t_fd = timeit(lambda: fetch_decode(kx, seed), name="fetch+decode")
+    t_fetch = timeit(lambda: fetch_only(rows, kx), name="fetch_only")
+    t_fd = timeit(lambda: fetch_decode(rows, sh_d, kx, seed),
+                  name="fetch+decode")
     tc0 = jnp.full((Np,), 0.1)
-    t_round = timeit(lambda: full_round(kx, seed, tc0),
-                     name="full_round (rng+fetch+decode+composite)")
-    t_prelude = timeit(lambda: prelude_only(ro, rd),
-                       name=f"prelude_only (Kc={Kc}, "
-                            f"{Np * Kc / 1e6:.1f}M coarse rows)")
+    t_round = timeit(
+        lambda: full_round(rows, sh_d, baked.aabb_lo, baked.aabb_hi,
+                           kx, seed, tc0),
+        name="full_round (rng+fetch+decode+composite)")
+    t_prelude = timeit(
+        lambda: prelude_only(mip, baked.aabb_lo, baked.aabb_hi, ro, rd),
+        name=f"prelude_only (Kc={Kc}, {Np * Kc / 1e6:.1f}M coarse rows)")
 
     # ---- full frame with counters ------------------------------------------
     print("--- full frame ---", flush=True)
