@@ -65,6 +65,13 @@ class BakedField(NamedTuple):
     # supercell covers 8 fine steps, so leading/trailing empty space and
     # in-box background rays get ~8x cheaper (VERDICT r2 weak #2).
     mip: jnp.ndarray = None
+    # (B^3,) f32 sigma-only copy of rows[:, 0]. Random row gathers fall off
+    # a measured ~128 MB table-size cliff (11 -> 38 ns/row,
+    # scripts/tpu_table_cliff.py — DRAM row-cycle-bound, index order and
+    # dtype don't matter), so the renderer fetches sigma for EVERY sample
+    # from this 67 MB table at ~8.3 ns/row and touches the 2.1 GB SH row
+    # table only for the few weight-carrying samples per ray per round.
+    sigma: jnp.ndarray = None
 
     # NamedTuple keeps this a pytree; resolution/scale ride as aux via the
     # static argnums of the jitted entry points (callers pass them split).
@@ -196,7 +203,8 @@ def bake_field(field_fn, scale: float, resolution: int = 256,
         aabb_lo = jnp.where(any_occ, jnp.stack(los), jnp.full(3, -scale))
         aabb_hi = jnp.where(any_occ, jnp.stack(his), jnp.full(3, scale))
         return (rows.astype(dtype), aabb_lo, aabb_hi,
-                build_sigma_mip(rows[:, 0], B))
+                build_sigma_mip(rows[:, 0], B),
+                rows[:, 0].astype(jnp.float32))
 
     rows = jnp.zeros((B ** 3, N_CH), jnp.float32)
     # pad the voxel list to a chunk multiple: ONE compiled program serves
@@ -215,9 +223,10 @@ def bake_field(field_fn, scale: float, resolution: int = 256,
         rows = bake_chunk(rows, jnp.asarray(centers[i:i + chunk]),
                           jnp.asarray(occ_idx[i:i + chunk], jnp.int32),
                           jnp.uint32(ci))
-    rows, aabb_lo, aabb_hi, mip = finalize(rows)
+    rows, aabb_lo, aabb_hi, mip, sigma = finalize(rows)
     return BakedField(rows=rows, resolution=B, scale=scale,
-                      aabb_lo=aabb_lo, aabb_hi=aabb_hi, mip=mip)
+                      aabb_lo=aabb_lo, aabb_hi=aabb_hi, mip=mip,
+                      sigma=sigma)
 
 
 def sample_baked(rows, xyz, sh_d, B: int, scale: float,
@@ -272,13 +281,14 @@ def sample_baked(rows, xyz, sh_d, B: int, scale: float,
 
 @partial(jax.jit, static_argnames=(
     "B", "scale", "interp", "T_threshold", "n_steps", "samples_per_round",
-    "max_rounds", "return_state", "compact"))
+    "max_rounds", "return_state", "compact", "color_window"))
 def render_baked_uniform(rows, aabb_lo, aabb_hi, rays_o, rays_d, key, *,
                          B: int, scale: float, interp: str = "stochastic",
                          T_threshold: float = 1e-2, n_steps: int = 192,
                          samples_per_round: int = 32, init_state=None,
                          max_rounds: int = 0, return_state: bool = False,
-                         mip=None, compact: bool = True):
+                         mip=None, compact: bool = True, sigma=None,
+                         color_window: int = 8):
     """Uniform-stepping baked render chunk: one compiled program per bucket,
     no host round-trips.
 
@@ -322,9 +332,27 @@ def render_baked_uniform(rows, aabb_lo, aabb_hi, rays_o, rays_d, key, *,
     render_test_chunk: (t_cur, opacity, depth, rgb, alive, samples_done).
     The coarse prelude and compaction run only when init_state is None
     (fresh rays); state-carrying callers keep the flat loop.
+
+    color_window (v2 fast path, needs `sigma` + interp="stochastic"):
+    random row gathers fall off a measured ~128 MB table-size cliff
+    (11 -> 38 ns/row, scripts/tpu_table_cliff.py), and the (B^3, 32) row
+    table at 256^3 is 2.1 GB — so a round's dominant cost was S big-table
+    rows per ray for samples that are mostly empty or occluded. The split
+    path fetches ONLY SIGMA for all S samples from the 67 MB (B^3,) table
+    (narrow gathers hold ~8.3 ns/row at any size), computes the exact
+    compositing weights (opacity/depth/alive are bit-identical to the
+    unsplit path), and fetches big rows just for a `color_window`-wide
+    per-ray window starting at the ray's first weight-carrying sample.
+    Weights decay monotonically past a surface, so a window of 8 covers
+    the weight support in a 16-sample round except for >8-sample
+    semi-transparent spans, whose tail color (not opacity) is dropped —
+    bounded by the tail weight itself (tested vs the exact path).
+    color_window=0 disables the split (exact reference semantics).
     """
     from .ops.rng import hash_uniform
     N = rays_o.shape[0]
+    use_split = (color_window > 0 and sigma is not None
+                 and interp == "stochastic")
     hits = ray_aabb_intersect_single(rays_o, rays_d, (aabb_lo + aabb_hi) / 2,
                                      (aabb_hi - aabb_lo) / 2)
     t1 = jnp.maximum(hits[:, 0], 0.0)
@@ -384,15 +412,78 @@ def render_baked_uniform(rows, aabb_lo, aabb_hi, rays_o, rays_d, key, *,
                        + jnp.arange(Np * S, dtype=jnp.uint32))
                 jitter = tuple(hash_uniform(ctr, seed, stream=d + 1)
                                for d in range(3))
-            sig, col = sample_baked(rows, flat_x, sh_p, B, scale,
-                                    interp, jitter)
             in_range = (ts < te_p[:, None]) & alive[:, None]
-            n_eff = jnp.sum(in_range, axis=1)
-            sig = jnp.where(in_range, sig.reshape(Np, S), 0.0)
-            deltas = jnp.full((Np, S), dt)
-            opacity, depth, rgb, still = composite_test_step(
-                sig, col.reshape(Np, S, 3), deltas, ts, n_eff,
-                opacity, depth, rgb, T_threshold)
+
+            if not use_split:
+                sig, col = sample_baked(rows, flat_x, sh_p, B, scale,
+                                        interp, jitter)
+                n_eff = jnp.sum(in_range, axis=1)
+                sig = jnp.where(in_range, sig.reshape(Np, S), 0.0)
+                deltas = jnp.full((Np, S), dt)
+                opacity, depth, rgb, still = composite_test_step(
+                    sig, col.reshape(Np, S, 3), deltas, ts, n_eff,
+                    opacity, depth, rgb, T_threshold)
+                t_cur = jnp.where(alive, t_cur + S * dt, t_cur)
+                alive = alive & still & (t_cur < te_p)
+                return (t_cur, opacity, depth, rgb, alive,
+                        samples_done + S, rounds + 1)
+
+            # ---- split path: narrow sigma fetch -> exact weights -------
+            u = (flat_x + scale) / (2 * scale) * B - 0.5
+            ids = [jnp.clip(jnp.floor(u[:, d] + jitter[d]).astype(jnp.int32),
+                            0, B - 1) for d in range(3)]
+            ii = (ids[0] * (B * B) + ids[1] * B + ids[2]).reshape(Np, S)
+            sig = jnp.where(in_range, sigma[ii], 0.0)          # (Np, S)
+            # weight math == composite_test_step (in_range is the prefix
+            # mask composite derives from n_eff)
+            sd = sig * dt
+            sd_excl = jnp.cumsum(sd, axis=1) - sd
+            T_before = (1.0 - opacity)[:, None] * jnp.exp(-sd_excl)
+            alpha = 1.0 - jnp.exp(-sd)
+            included = (T_before > T_threshold) & in_range
+            w = alpha * T_before * included.astype(sig.dtype)  # (Np, S)
+            opacity = opacity + jnp.sum(w, axis=1)
+            depth = depth + jnp.sum(w * ts, axis=1)
+
+            # ---- big rows only over the per-ray weight support -----------
+            # `color_window` stride-adaptive buckets tile [first, last]
+            # significant sample (stride = ceil(span / Wc) <= S / Wc): each
+            # bucket's weight is an EXACT cumsum difference, its color is
+            # the row at the bucket center — so weight mass is preserved
+            # for any span and only color is box-averaged at stride > 1
+            # (the failure mode of a flat first-Wc window was dropped tail
+            # color on soft/grazing spans: 28 dB vs exact).
+            Wc = color_window
+            sel = w > 1e-4
+            any_sel = jnp.any(sel, axis=1)
+            start = jnp.argmax(sel, axis=1).astype(jnp.int32)   # (Np,)
+            last = (S - 1
+                    - jnp.argmax(sel[:, ::-1], axis=1).astype(jnp.int32))
+            span = jnp.maximum(last - start + 1, 1)
+            stride = (span + Wc - 1) // Wc                      # (Np,)
+            k = jnp.arange(Wc, dtype=jnp.int32)[None, :]
+            b0 = start[:, None] + k * stride[:, None]           # (Np, Wc)
+            b1 = jnp.minimum(b0 + stride[:, None], S)
+            slot_ok = (b0 <= last[:, None]) & any_sel[:, None]
+            cw = jnp.cumsum(w, axis=1)                          # (Np, S)
+            hi_w = jnp.take_along_axis(cw, jnp.clip(b1 - 1, 0, S - 1),
+                                       axis=1)
+            lo_w = jnp.where(b0 > 0,
+                             jnp.take_along_axis(
+                                 cw, jnp.clip(b0 - 1, 0, S - 1), axis=1),
+                             0.0)
+            w_slot = (hi_w - lo_w) * slot_ok.astype(w.dtype)
+            jc = jnp.clip(jnp.minimum(b0 + stride[:, None] // 2,
+                                      last[:, None]), 0, S - 1)
+            ii_sel = jnp.take_along_axis(ii, jc, axis=1)
+            f = rows[ii_sel.reshape(-1)].astype(jnp.float32) \
+                .reshape(Np, Wc, N_CH)
+            sh = f[:, :, 1:28].reshape(Np, Wc, 3, N_SH)
+            rgb_sel = jnp.maximum(
+                jnp.einsum("nwck,nk->nwc", sh, sh_p), 0.0)
+            rgb = rgb + jnp.sum(w_slot[..., None] * rgb_sel, axis=1)
+
+            still = (1.0 - opacity) > T_threshold
             t_cur = jnp.where(alive, t_cur + S * dt, t_cur)
             alive = alive & still & (t_cur < te_p)
             return (t_cur, opacity, depth, rgb, alive,
@@ -413,12 +504,16 @@ def render_baked_uniform(rows, aabb_lo, aabb_hi, rays_o, rays_d, key, *,
         state = init_state
     n_prelude_alive = jnp.sum(state[4].astype(jnp.int32))
 
-    # phase sizes: full bucket, then /4, /16 prefixes (skip compaction for
-    # small buckets / state-carrying callers whose state shape must persist)
+    # phase sizes: full bucket then halving prefixes — each phase exits as
+    # soon as the alive set fits the next half, so a round never runs more
+    # than 2x wider than its alive set (skip compaction for small buckets /
+    # state-carrying callers whose state shape must persist). A compaction
+    # costs an argsort + gathers (~1-2 ms); a spared full-width round costs
+    # tens of ms (frame anatomy, DESIGN.md).
     sizes = [N]
     if compact and init_state is None and not return_state:
-        while len(sizes) < 3 and sizes[-1] // 4 >= 1024:
-            sizes.append(sizes[-1] // 4)
+        while len(sizes) < 7 and sizes[-1] // 2 >= 4096:
+            sizes.append(sizes[-1] // 2)
 
     ro_p, rd_p, sh_p, te_p = rays_o, rays_d, sh_d, t_end
     carry = (*state[:5], state[5], jnp.int32(0))
@@ -523,7 +618,7 @@ def render_baked(baked: BakedField, grid_state, rays_o, rays_d, cfg, *,
                  samples_per_round: int = 16, chunk: int = 1 << 18,
                  phase1_rounds: int = 0, max_samples=None, prehit=None,
                  dt_scale=None, exp_step_factor: float = 0.0,
-                 stats: dict = None):
+                 stats: dict = None, color_window: int = 8):
     """Full-frame baked render.
 
     Host-side work is pure math + one output readback: rays are culled
@@ -565,7 +660,8 @@ def render_baked(baked: BakedField, grid_state, rays_o, rays_d, cfg, *,
             baked.rows, baked.aabb_lo, baked.aabb_hi, ro, rd, k,
             B=baked.resolution, scale=baked.scale, interp=interp,
             T_threshold=T_threshold, n_steps=n_steps,
-            samples_per_round=samples_per_round, mip=baked.mip)
+            samples_per_round=samples_per_round, mip=baked.mip,
+            sigma=baked.sigma, color_window=color_window)
         opacity[sl] = np.asarray(res["opacity"])[:n]
         depth[sl] = np.asarray(res["depth"])[:n]
         rgb[sl] = np.asarray(res["rgb"])[:n]
@@ -579,7 +675,8 @@ def render_baked(baked: BakedField, grid_state, rays_o, rays_d, cfg, *,
 def baked_frame_device_fn(baked: BakedField, rays_o, rays_d, *,
                           interp: str = "stochastic",
                           T_threshold: float = 1e-2, n_steps: int = 192,
-                          samples_per_round: int = 16, chunk: int = 1 << 18):
+                          samples_per_round: int = 16, chunk: int = 1 << 18,
+                          color_window: int = 8):
     """Zero-readback frame function for device-side FPS measurement.
 
     Culling/padding/bucketing happens once here; the returned frame(key)
@@ -602,7 +699,8 @@ def baked_frame_device_fn(baked: BakedField, rays_o, rays_d, *,
                 baked.rows, baked.aabb_lo, baked.aabb_hi, ro, rd, key,
                 B=baked.resolution, scale=baked.scale, interp=interp,
                 T_threshold=T_threshold, n_steps=n_steps,
-                samples_per_round=samples_per_round, mip=baked.mip)
+                samples_per_round=samples_per_round, mip=baked.mip,
+                sigma=baked.sigma, color_window=color_window)
             outs.append(res["rgb"])
         return reduce_fn(outs) if outs else jnp.float32(0.0)
 

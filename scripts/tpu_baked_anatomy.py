@@ -212,11 +212,14 @@ def main():
     keys = jax.random.split(key, len(buckets))
     frame_ms = []
     model_ms = []
+    cw = int(sys.argv[4]) if len(sys.argv) > 4 else 8   # 0 = unsplit v1
+    print(f"color_window={cw}", flush=True)
     for bi, ((sl, rob, rdb, n), k) in enumerate(zip(buckets, keys)):
         fn = lambda: render_baked_uniform(
             rows, baked.aabb_lo, baked.aabb_hi, rob, rdb, k,
             B=B, scale=scale, interp="stochastic", T_threshold=1e-2,
-            n_steps=n_steps, samples_per_round=S, mip=mip)
+            n_steps=n_steps, samples_per_round=S, mip=mip,
+            sigma=baked.sigma, color_window=cw)
         res = fn()          # compile + counters
         pr = np.asarray(res["phase_rounds"])
         pa = np.asarray(res["phase_alive"])

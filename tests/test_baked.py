@@ -317,3 +317,47 @@ def test_mip_prelude_matches_miplless_render():
                                atol=2e-3)
     np.testing.assert_allclose(np.asarray(b["opacity"]),
                                np.asarray(a["opacity"]), atol=2e-3)
+
+
+def test_split_color_path_matches_exact():
+    """The sigma-first split path (color_window > 0) must reproduce the
+    unsplit stochastic render: opacity/depth exactly (same weight math,
+    same jitter), rgb up to the documented w<=1e-4 color drop when the
+    window covers the whole round (color_window == S)."""
+    B = 48
+    baked = bake_field(analytic_field, SCALE, resolution=B, n_dirs=16,
+                       dtype=jnp.float32)
+    assert baked.sigma is not None
+    W = H = 64
+    f = 0.5 * W / np.tan(0.5 * np.deg2rad(45.0))
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
+    dirs = jnp.asarray(get_ray_directions(H, W, K))
+    ro, rd = get_rays(dirs, jnp.asarray(look_at_pose(
+        np.array([0.9, 0.25, 0.75]))))
+    rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    from arnerf_tpu.rendering_baked import render_baked_uniform
+    kw = dict(B=B, scale=SCALE, interp="stochastic", T_threshold=1e-3,
+              n_steps=96, samples_per_round=16, mip=baked.mip)
+    key = jax.random.PRNGKey(5)
+    exact = render_baked_uniform(baked.rows, baked.aabb_lo, baked.aabb_hi,
+                                 ro, rd, key, color_window=0, **kw)
+    split = render_baked_uniform(baked.rows, baked.aabb_lo, baked.aabb_hi,
+                                 ro, rd, key, sigma=baked.sigma,
+                                 color_window=16, **kw)
+    np.testing.assert_allclose(np.asarray(split["opacity"]),
+                               np.asarray(exact["opacity"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(split["depth"]),
+                               np.asarray(exact["depth"]), atol=1e-4)
+    # full-round window: only w <= 1e-4 color drops (bounded by S * eps)
+    np.testing.assert_allclose(np.asarray(split["rgb"]),
+                               np.asarray(exact["rgb"]), atol=4e-3)
+
+    # production window 8: tail color of >8-sample semi-transparent spans
+    # may drop; must stay visually identical (PSNR vs exact)
+    w8 = render_baked_uniform(baked.rows, baked.aabb_lo, baked.aabb_hi,
+                              ro, rd, key, sigma=baked.sigma,
+                              color_window=8, **kw)
+    mse = float(np.mean((np.asarray(w8["rgb"])
+                         - np.asarray(exact["rgb"])) ** 2))
+    psnr = -10 * np.log10(max(mse, 1e-12))
+    assert psnr > 38.0, f"window-8 vs exact PSNR {psnr:.1f}"
