@@ -174,6 +174,7 @@ def main():
     tc = TrainConfig(batch_size=8192, lr=1e-2,
                      num_epochs=max(1, race_cap_steps // 480),
                      steps_per_epoch=480, warmup_steps=256,
+                     samples_per_ray_budget=_arg("--budget", 32),
                      loss=NeRFLossConfig(grid_scale=0.5,
                                          lambda_distortion=1e-3))
     trainer = NeRFTrainer(cfg, tc, train_ds, test_ds,
@@ -250,9 +251,15 @@ def main():
     print(f"bench: early {steps_per_s:.1f} steps/s", file=sys.stderr,
           flush=True)
 
-    # warm the validation render path once (compile excluded from the race)
+    # warm the validation render paths once (compile excluded from the race)
+    # race snapshots render at max_samples=192: measured 0.4 dB BELOW the
+    # full 1024-sample render on a converged ckpt (coarser quadrature only
+    # loses fidelity), ~2.7x cheaper — and a crossing is only accepted
+    # after a CONFIRMING full-spec val whose time counts toward the race
     val = {"psnr": 0.0}
+    cheap_val = dict(max_images=1, compute_ssim=False, max_samples=192)
     try:
+        val = trainer.validate(**cheap_val)
         val = trainer.validate(max_images=1, compute_ssim=False)
     except Exception as e:
         print(f"bench: val warmup failed ({type(e).__name__})",
@@ -296,7 +303,13 @@ def main():
                   file=sys.stderr, flush=True)
         t0 = time.time()
         try:
-            val = trainer.validate(max_images=1, compute_ssim=False)
+            val = trainer.validate(**cheap_val)
+            crossed = val["psnr"] >= target_db
+            if crossed:
+                # confirm with the full-spec render (the cheap val reads
+                # conservatively low, but the gate must be the real one)
+                val = trainer.validate(max_images=1, compute_ssim=False)
+                crossed = val["psnr"] >= target_db
         except Exception:
             break
         val_wall += time.time() - t0
@@ -304,7 +317,7 @@ def main():
               f"({group * bs / dt:.1f} steps/s, "
               f"race {train_wall + val_wall:.0f}s)",
               file=sys.stderr, flush=True)
-        if val["psnr"] >= target_db:
+        if crossed:
             time_to_target = train_wall + val_wall
             break
     print(f"bench: steady {steady:.1f} steps/s; time_to_{target_db:g}db "
