@@ -4,7 +4,11 @@ PSNR/SSIM + render FPS, occupancy-grid visualization, and isosurface mesh
 extraction. Run with the training flags plus --ckpt_path.
 
   python eval.py --dataset_name nerf --root_dir ... --ckpt_path ckpt.npz \
-      [--mesh out.obj] [--grid_vis grid.png]
+      [--mesh out.obj] [--grid_vis grid.png] [--cam_vis cams.png]
+
+--cam_vis is the notebook's plotly camera/ray cell (reference test.ipynb,
+its last cell) as a dependency-free orthographic plot: camera centers and
+central view rays projected onto the xy/xz/yz planes with the scene AABB.
 """
 
 import sys
@@ -25,6 +29,11 @@ def main():
     if '--grid_vis' in argv:
         i = argv.index('--grid_vis')
         grid_vis = argv[i + 1]
+        del argv[i:i + 2]
+    cam_vis = None
+    if '--cam_vis' in argv:
+        i = argv.index('--cam_vis')
+        cam_vis = argv[i + 1]
         del argv[i:i + 2]
     hparams = get_opts(argv)
 
@@ -106,6 +115,39 @@ def main():
         imageio.imsave(grid_vis,
                        np.concatenate(tiles, axis=1).astype(np.uint8))
         print(f'occupancy slices -> {grid_vis}')
+
+    if cam_vis:
+        import imageio.v2 as imageio
+        S, half = 320, float(hparams.scale)
+        poses = np.asarray(test_ds.poses)                  # (n, 3, 4)
+        cam_o = poses[:, :, 3]
+        cam_d = -poses[:, :, 2]                            # central ray
+        cam_d /= np.linalg.norm(cam_d, axis=1, keepdims=True) + 1e-12
+        lim = max(half, float(np.abs(cam_o).max())) * 1.15
+        canvas = np.full((S, 3 * S, 3), 255, np.uint8)
+
+        def px(v):      # world coord -> pixel
+            return np.clip(((v + lim) / (2 * lim) * (S - 1)).astype(int),
+                           0, S - 1)
+
+        for p, (a, b) in enumerate(((0, 1), (0, 2), (1, 2))):
+            x0 = p * S
+            # scene AABB square
+            lo, hi = px(np.float64(-half)), px(np.float64(half))
+            canvas[lo:hi + 1, [x0 + lo, x0 + hi]] = (200, 200, 200)
+            canvas[[lo, hi], x0 + lo:x0 + hi + 1] = (200, 200, 200)
+            # central view rays (o -> o + 0.6 * lim * d) then camera dots
+            for o, d in zip(cam_o, cam_d):
+                t = np.linspace(0, 0.6 * lim, 64)
+                seg = o[None, :] + t[:, None] * d[None, :]
+                canvas[px(seg[:, b]), x0 + px(seg[:, a])] = (120, 170, 255)
+            yy, xx = px(cam_o[:, b]), px(cam_o[:, a])
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    canvas[np.clip(yy + dy, 0, S - 1),
+                           x0 + np.clip(xx + dx, 0, S - 1)] = (220, 60, 40)
+        imageio.imsave(cam_vis, canvas)
+        print(f'camera/ray plot (xy|xz|yz) -> {cam_vis}')
 
     if mesh_path:
         from arnerf_tpu.utils.mesh import extract_ngp_mesh, save_obj
