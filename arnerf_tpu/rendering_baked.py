@@ -368,7 +368,14 @@ def render_baked_uniform(rows, aabb_lo, aabb_hi, rays_o, rays_d, key, *,
     if mip is not None and init_state is None:
         F = MIP_FACTOR
         Bc = -(-B // F)
-        step_c = F * 2 * scale / B                 # one supercell per step
+        w_c = F * 2 * scale / B                    # supercell world width
+        # STRIDE-2 coarse sampling: the mip is dilated by 1 supercell, so
+        # any occupied supercell's dilated footprint spans >= 2 * w_c of
+        # ray parameter (Chebyshev-1 margin on every face, |d|<=1 per
+        # axis) — a sample every 2 * w_c provably lands inside it. Halves
+        # the prelude's gather rows (the frame's second-largest term);
+        # costs 1 supercell of start/end slack, absorbed by the margins.
+        step_c = 2 * w_c
         # static worst-case step count: full-cube diagonal (coarse samples
         # beyond each ray's t2 are masked)
         Kc = int(np.ceil(2 * np.sqrt(3.0) * scale / step_c)) + 2
@@ -384,9 +391,15 @@ def render_baked_uniform(rows, aabb_lo, aabb_hi, rays_o, rays_d, key, *,
         any_occ = jnp.any(occ_c, axis=1)
         first_k = jnp.argmax(occ_c, axis=1)
         last_k = Kc - 1 - jnp.argmax(occ_c[:, ::-1], axis=1)
-        t_start = t1 + first_k.astype(jnp.float32) * step_c
+        # every fine-occupied t* has a marked sample within half the
+        # spacing (= w_c) of it, so margins of 1 supercell around the
+        # first/last marked sample centers cover the support; +0.5 w_c
+        # absorbs stochastic trilerp jitter (<= 1 fine voxel)
+        t_start = jnp.maximum(
+            t1 + (first_k + 0.5).astype(jnp.float32) * step_c - 1.5 * w_c,
+            t1)
         t_end = jnp.minimum(
-            t1 + (last_k + 1).astype(jnp.float32) * step_c, t2)
+            t1 + (last_k + 0.5).astype(jnp.float32) * step_c + 1.5 * w_c, t2)
 
     def make_phase(ro_p, rd_p, sh_p, te_p, Np, next_n):
         """Round loop over a static Np-ray prefix; exits when the alive set
