@@ -281,14 +281,14 @@ def sample_baked(rows, xyz, sh_d, B: int, scale: float,
 
 @partial(jax.jit, static_argnames=(
     "B", "scale", "interp", "T_threshold", "n_steps", "samples_per_round",
-    "max_rounds", "return_state", "compact", "color_window"))
+    "max_rounds", "return_state", "compact", "color_window", "block4"))
 def render_baked_uniform(rows, aabb_lo, aabb_hi, rays_o, rays_d, key, *,
                          B: int, scale: float, interp: str = "stochastic",
                          T_threshold: float = 1e-2, n_steps: int = 192,
                          samples_per_round: int = 32, init_state=None,
                          max_rounds: int = 0, return_state: bool = False,
                          mip=None, compact: bool = True, sigma=None,
-                         color_window: int = 8):
+                         color_window: int = 8, block4: bool = False):
     """Uniform-stepping baked render chunk: one compiled program per bucket,
     no host round-trips.
 
@@ -369,37 +369,62 @@ def render_baked_uniform(rows, aabb_lo, aabb_hi, rays_o, rays_d, key, *,
         F = MIP_FACTOR
         Bc = -(-B // F)
         w_c = F * 2 * scale / B                    # supercell world width
-        # STRIDE-2 coarse sampling: the mip is dilated by 1 supercell, so
-        # any occupied supercell's dilated footprint spans >= 2 * w_c of
-        # ray parameter (Chebyshev-1 margin on every face, |d|<=1 per
-        # axis) — a sample every 2 * w_c provably lands inside it. Halves
-        # the prelude's gather rows (the frame's second-largest term);
-        # costs 1 supercell of start/end slack, absorbed by the margins.
-        step_c = 2 * w_c
+        # Prelude row-count reductions (both provably conservative under
+        # the mip's 1-supercell dilation; the slack budget is 1 supercell
+        # of Chebyshev distance between a fine-occupied ray point and the
+        # nearest tested coarse sample):
+        #  * block4: rays arrive in 2x2 PIXEL blocks (cull_and_buckets
+        #    img_wh) and only each block's first ray marches the mip at
+        #    1-supercell spacing — in-block ray divergence is <= ~0.2
+        #    supercell at any in-scene depth (800px, 45deg fov), leaving
+        #    0.5 (half-spacing) + 0.2 + jitter < 1. 4x fewer coarse rows.
+        #  * otherwise: STRIDE-2 sampling — half-spacing slack is 1.0
+        #    supercell exactly, the dilated footprint of any occupied
+        #    supercell spans >= 2 w_c of ray parameter. 2x fewer rows.
+        if block4:
+            roc = rays_o[0::4]
+            rdc = rays_d[0::4]
+            # block t-range = union of members: ray 0 can MISS the AABB
+            # while a sibling hits (blocks straddling the AABB silhouette
+            # survive culling if ANY member hits). Marching ray 0's line
+            # over the union range stays conservative: clipped coarse
+            # samples land within the <=0.2-supercell divergence of the
+            # hitting member, inside the mip's 1-supercell dilation.
+            t1c = t1.reshape(-1, 4).min(axis=1)
+            t2c = t2.reshape(-1, 4).max(axis=1)
+            step_c = w_c
+        else:
+            roc, rdc, t1c, t2c = rays_o, rays_d, t1, t2
+            step_c = 2 * w_c
         # static worst-case step count: full-cube diagonal (coarse samples
         # beyond each ray's t2 are masked)
         Kc = int(np.ceil(2 * np.sqrt(3.0) * scale / step_c)) + 2
-        t_c = t1[:, None] + (jnp.arange(Kc) + 0.5) * step_c    # (N, Kc)
+        t_c = t1c[:, None] + (jnp.arange(Kc) + 0.5) * step_c   # (Nc, Kc)
         occ_parts = []
         for d in range(3):
-            p_d = rays_o[:, d:d + 1] + t_c * rays_d[:, d:d + 1]
+            p_d = roc[:, d:d + 1] + t_c * rdc[:, d:d + 1]
             f_d = jnp.clip(jnp.floor((p_d + scale) / (2 * scale) * B),
                            0, B - 1).astype(jnp.int32) // F
             occ_parts.append(f_d)
         cix = (occ_parts[0] * Bc + occ_parts[1]) * Bc + occ_parts[2]
-        occ_c = (mip[cix] > 0) & (t_c < t2[:, None])           # (N, Kc)
+        occ_c = (mip[cix] > 0) & (t_c < t2c[:, None])          # (Nc, Kc)
         any_occ = jnp.any(occ_c, axis=1)
         first_k = jnp.argmax(occ_c, axis=1)
         last_k = Kc - 1 - jnp.argmax(occ_c[:, ::-1], axis=1)
-        # every fine-occupied t* has a marked sample within half the
-        # spacing (= w_c) of it, so margins of 1 supercell around the
-        # first/last marked sample centers cover the support; +0.5 w_c
-        # absorbs stochastic trilerp jitter (<= 1 fine voxel)
-        t_start = jnp.maximum(
-            t1 + (first_k + 0.5).astype(jnp.float32) * step_c - 1.5 * w_c,
-            t1)
-        t_end = jnp.minimum(
-            t1 + (last_k + 0.5).astype(jnp.float32) * step_c + 1.5 * w_c, t2)
+        # margins of 1.5 supercells around the first/last marked sample
+        # centers cover the half-spacing/divergence slack + trilerp jitter
+        t_start = t1c + (first_k + 0.5).astype(jnp.float32) * step_c \
+            - 1.5 * w_c
+        t_end = t1c + (last_k + 0.5).astype(jnp.float32) * step_c \
+            + 1.5 * w_c
+        if block4:
+            # broadcast the block window to its 4 member rays (absolute t:
+            # the rays are near-parallel, so the support interval is shared)
+            any_occ = jnp.repeat(any_occ, 4)
+            t_start = jnp.repeat(t_start, 4)
+            t_end = jnp.repeat(t_end, 4)
+        t_start = jnp.maximum(t_start, t1)
+        t_end = jnp.minimum(t_end, t2)
 
     def make_phase(ro_p, rd_p, sh_p, te_p, Np, next_n):
         """Round loop over a static Np-ray prefix; exits when the alive set
@@ -584,7 +609,8 @@ def render_baked_uniform(rows, aabb_lo, aabb_hi, rays_o, rays_d, key, *,
     return out
 
 
-def cull_and_buckets(baked: BakedField, rays_o, rays_d, chunk: int = 1 << 18):
+def cull_and_buckets(baked: BakedField, rays_o, rays_d, chunk: int = 1 << 18,
+                     img_wh=None):
     """Host-side tight-AABB cull + power-of-two bucketing.
 
     Returns (buckets, N) where each bucket is (sl, ro, rd, n): sl the
@@ -592,7 +618,14 @@ def cull_and_buckets(baked: BakedField, rays_o, rays_d, chunk: int = 1 << 18):
     count. Shared by render_baked (which composes a frame with per-bucket
     readbacks) and by device-side FPS timing (which dispatches buckets and
     syncs one scalar — the tunnel readback is an axon artifact, not part of
-    the renderer)."""
+    the renderer).
+
+    img_wh = (W, H) with even W, H and row-major rays: cull and bucket in
+    2x2 PIXEL blocks (a block survives if any member hits), emitting rays
+    block-grouped — 4 consecutive slots per block — which enables the
+    renderer's quarter-res mip prelude (block4=True: only each block's
+    first ray marches the coarse grid). Pad blocks start far outside the
+    AABB, so the prelude kills them whole."""
     from .rendering import _pow2_bucket
     N = rays_o.shape[0]
     ro_np = np.asarray(rays_o, np.float32)
@@ -605,7 +638,17 @@ def cull_and_buckets(baked: BakedField, rays_o, rays_d, chunk: int = 1 << 18):
     tb = (hi[None, :] - ro_np) * inv
     t1 = np.maximum(np.minimum(ta, tb).max(axis=1), 0.0)
     t2 = np.maximum(ta, tb).min(axis=1)
-    idx0 = np.where(t2 > t1)[0]
+    hit = t2 > t1
+    blocked = False
+    if img_wh is not None:
+        W, H = img_wh
+        if W * H == N and W % 2 == 0 and H % 2 == 0:
+            blk = (np.arange(N).reshape(H // 2, 2, W // 2, 2)
+                   .transpose(0, 2, 1, 3).reshape(-1, 4))      # (Nb, 4)
+            idx0 = blk[hit[blk].any(axis=1)].reshape(-1)
+            blocked = True
+    if not blocked:
+        idx0 = np.where(hit)[0]
     buckets = []
     M = len(idx0)
     if M:
@@ -622,7 +665,7 @@ def cull_and_buckets(baked: BakedField, rays_o, rays_d, chunk: int = 1 << 18):
             rd = jnp.asarray(np.concatenate(
                 [rd_np[sl], np.ones((pad, 3), np.float32)]))
             buckets.append((sl, ro, rd, n))
-    return buckets, N
+    return buckets, N, blocked
 
 
 def render_baked(baked: BakedField, grid_state, rays_o, rays_d, cfg, *,
@@ -631,7 +674,7 @@ def render_baked(baked: BakedField, grid_state, rays_o, rays_d, cfg, *,
                  samples_per_round: int = 16, chunk: int = 1 << 18,
                  phase1_rounds: int = 0, max_samples=None, prehit=None,
                  dt_scale=None, exp_step_factor: float = 0.0,
-                 stats: dict = None, color_window: int = 8):
+                 stats: dict = None, color_window: int = 8, img_wh=None):
     """Full-frame baked render.
 
     Host-side work is pure math + one output readback: rays are culled
@@ -658,7 +701,8 @@ def render_baked(baked: BakedField, grid_state, rays_o, rays_d, cfg, *,
     depth = np.zeros(N, np.float32)
     rgb = np.zeros((N, 3), np.float32)
 
-    buckets, _ = cull_and_buckets(baked, rays_o, rays_d, chunk)
+    buckets, _, blocked = cull_and_buckets(baked, rays_o, rays_d, chunk,
+                                           img_wh=img_wh)
     if stats is not None:
         stats.update(n_rays=N,
                      n_aabb_hit=sum(n for *_, n in buckets),
@@ -674,7 +718,7 @@ def render_baked(baked: BakedField, grid_state, rays_o, rays_d, cfg, *,
             B=baked.resolution, scale=baked.scale, interp=interp,
             T_threshold=T_threshold, n_steps=n_steps,
             samples_per_round=samples_per_round, mip=baked.mip,
-            sigma=baked.sigma, color_window=color_window)
+            sigma=baked.sigma, color_window=color_window, block4=blocked)
         opacity[sl] = np.asarray(res["opacity"])[:n]
         depth[sl] = np.asarray(res["depth"])[:n]
         rgb[sl] = np.asarray(res["rgb"])[:n]
@@ -689,7 +733,7 @@ def baked_frame_device_fn(baked: BakedField, rays_o, rays_d, *,
                           interp: str = "stochastic",
                           T_threshold: float = 1e-2, n_steps: int = 192,
                           samples_per_round: int = 16, chunk: int = 1 << 18,
-                          color_window: int = 8):
+                          color_window: int = 8, img_wh=None):
     """Zero-readback frame function for device-side FPS measurement.
 
     Culling/padding/bucketing happens once here; the returned frame(key)
@@ -702,7 +746,8 @@ def baked_frame_device_fn(baked: BakedField, rays_o, rays_d, *,
     the seed across buckets only correlates jitter between distinct rays
     (harmless); per-bucket eager key splits would cost a ~27 ms dispatch
     each."""
-    buckets, _ = cull_and_buckets(baked, rays_o, rays_d, chunk)
+    buckets, _, blocked = cull_and_buckets(baked, rays_o, rays_d, chunk,
+                                           img_wh=img_wh)
     reduce_fn = jax.jit(lambda xs: sum(jnp.sum(x) for x in xs))
 
     def frame(key):
@@ -713,7 +758,8 @@ def baked_frame_device_fn(baked: BakedField, rays_o, rays_d, *,
                 B=baked.resolution, scale=baked.scale, interp=interp,
                 T_threshold=T_threshold, n_steps=n_steps,
                 samples_per_round=samples_per_round, mip=baked.mip,
-                sigma=baked.sigma, color_window=color_window)
+                sigma=baked.sigma, color_window=color_window,
+                block4=blocked)
             outs.append(res["rgb"])
         return reduce_fn(outs) if outs else jnp.float32(0.0)
 

@@ -379,18 +379,19 @@ def main():
         _sync(baked.rows)
         bake_s = time.time() - t0
         res = render_baked(baked, trainer.grid_state,
-                           rays_o, rays_d, cfg, T_threshold=1e-2)  # warm
+                           rays_o, rays_d, cfg, T_threshold=1e-2,
+                           img_wh=(800, 800))  # warm
         _sync(res["rgb"])
         t0 = time.time()
         for i in range(3):
             res = render_baked(baked, trainer.grid_state, rays_o, rays_d,
                                cfg, key=jax.random.PRNGKey(i),
-                               T_threshold=1e-2)
+                               T_threshold=1e-2, img_wh=(800, 800))
             _sync(res["rgb"])
         fps_baked = 3 / (time.time() - t0)
         # device-side: all bucket dispatches, one scalar sync, keys premade
         frame = baked_frame_device_fn(baked, rays_o, rays_d,
-                                      T_threshold=1e-2)
+                                      T_threshold=1e-2, img_wh=(800, 800))
         fkeys = list(jax.random.split(jax.random.PRNGKey(7), 9))
         _sync(frame(fkeys[0]))                                   # warm
         t0 = time.time()

@@ -84,7 +84,7 @@ def main():
         if baked is not None:
             out = render_baked(baked, grid_state, rays_o, rays_d, cfg,
                                key=jax.random.PRNGKey(i),
-                               T_threshold=1e-2)
+                               T_threshold=1e-2, img_wh=(w, h))
         else:
             out = render_test(params, grid_state, rays_o, rays_d, cfg,
                               exp_step_factor=exp_step_factor,

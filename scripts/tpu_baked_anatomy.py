@@ -110,10 +110,14 @@ def main():
     dirs800 = jnp.asarray(get_ray_directions(800, 800, K800))
     rays_o, rays_d = get_rays(dirs800, jnp.asarray(test_ds.poses[0]))
 
-    buckets, N_total = cull_and_buckets(baked, rays_o, rays_d, 1 << 18)
+    blk_flag = len(sys.argv) > 5 and sys.argv[5] == "block"
+    buckets, N_total, blocked = cull_and_buckets(
+        baked, rays_o, rays_d, 1 << 18,
+        img_wh=(800, 800) if blk_flag else None)
     n_hit = sum(n for *_, n in buckets)
     print(f"rays: {N_total} total, {n_hit} aabb-hit, "
-          f"{len(buckets)} buckets x {buckets[0][1].shape[0]}", flush=True)
+          f"{len(buckets)} buckets x {buckets[0][1].shape[0]} "
+          f"blocked={blocked}", flush=True)
 
     B = baked.resolution
     scale = baked.scale
@@ -219,7 +223,7 @@ def main():
             rows, baked.aabb_lo, baked.aabb_hi, rob, rdb, k,
             B=B, scale=scale, interp="stochastic", T_threshold=1e-2,
             n_steps=n_steps, samples_per_round=S, mip=mip,
-            sigma=baked.sigma, color_window=cw)
+            sigma=baked.sigma, color_window=cw, block4=blocked)
         res = fn()          # compile + counters
         pr = np.asarray(res["phase_rounds"])
         pa = np.asarray(res["phase_alive"])

@@ -80,7 +80,8 @@ def main():
     # rounds per bucket -> gather-row account
     stats = {}
     res = render_baked(baked, tr.grid_state, rays_o, rays_d, cfg,
-                       interp="stochastic", T_threshold=1e-2, stats=stats)
+                       interp="stochastic", T_threshold=1e-2, stats=stats,
+                       img_wh=(800, 800))
     device_sync(res["rgb"])
     S = stats.get("samples_per_round", 16)
     fine_rows = sum(r * stats["bucket"] * S for r in stats["rounds"])
@@ -93,13 +94,14 @@ def main():
 
     for interp in ("stochastic", "trilinear"):
         res = render_baked(baked, tr.grid_state, rays_o, rays_d, cfg,
-                           interp=interp, T_threshold=1e-2)  # compile+warm
+                           interp=interp, T_threshold=1e-2,
+                           img_wh=(800, 800))  # compile+warm
         device_sync(res["rgb"])
         t0 = time.time()
         for i in range(n_frames):
             res = render_baked(baked, tr.grid_state, rays_o, rays_d, cfg,
                                key=jax.random.PRNGKey(i), interp=interp,
-                               T_threshold=1e-2)
+                               T_threshold=1e-2, img_wh=(800, 800))
             device_sync(res["rgb"])
         fps = n_frames / (time.time() - t0)
         out[f"fps_{interp}"] = round(fps, 2)
@@ -110,7 +112,8 @@ def main():
     # frame readback — see baked_frame_device_fn)
     from arnerf_tpu.rendering_baked import baked_frame_device_fn
     import jax.numpy as jnp
-    frame = baked_frame_device_fn(baked, rays_o, rays_d, T_threshold=1e-2)
+    frame = baked_frame_device_fn(baked, rays_o, rays_d, T_threshold=1e-2,
+                                  img_wh=(800, 800))
     fkeys = list(jax.random.split(jax.random.PRNGKey(7), n_frames + 1))
     device_sync(frame(fkeys[0]))
     t0 = time.time()

@@ -112,7 +112,8 @@ class NGPGUI:
             out = render_baked(
                 self.baked, self.grid_state, rays_o, rays_d, self.cfg,
                 key=jax.random.PRNGKey(self._frame),
-                exp_step_factor=exp_step_factor, T_threshold=1e-2)
+                exp_step_factor=exp_step_factor, T_threshold=1e-2,
+                img_wh=(cam.W, cam.H))
             out['total_samples'] = 0
         else:
             kwargs = {}

@@ -361,3 +361,47 @@ def test_split_color_path_matches_exact():
                          - np.asarray(exact["rgb"])) ** 2))
     psnr = -10 * np.log10(max(mse, 1e-12))
     assert psnr > 38.0, f"window-8 vs exact PSNR {psnr:.1f}"
+
+
+def test_block4_bucketing_matches_flat():
+    """2x2-block bucketing + quarter-res prelude (block4) must reproduce
+    the flat path's image: same weights up to the conservative window
+    margins (pure empty-space fetches), same pixel assignment."""
+    B = 48
+    baked = bake_field(analytic_field, SCALE, resolution=B, n_dirs=16,
+                       dtype=jnp.float32)
+    W = H = 64
+    f = 0.5 * W / np.tan(0.5 * np.deg2rad(45.0))
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
+    dirs = jnp.asarray(get_ray_directions(H, W, K))
+    ro, rd = get_rays(dirs, jnp.asarray(look_at_pose(
+        np.array([0.9, 0.25, 0.75]))))
+    rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    from arnerf_tpu.rendering_baked import cull_and_buckets
+    cfg = NGPConfig(scale=SCALE)
+    gs = make_grid_state(cfg)
+    flat = render_baked(baked, gs, ro, rd, cfg, interp="trilinear",
+                        T_threshold=1e-3, chunk=1 << 12)
+    blk = render_baked(baked, gs, ro, rd, cfg, interp="trilinear",
+                       T_threshold=1e-3, chunk=1 << 12, img_wh=(W, H))
+    # trilinear is deterministic, but the two preludes sample the mip
+    # differently (flat: stride-2 per ray; block4: stride-1 on ray 0 of
+    # each 2x2 block): a boundary-grazing ray whose only sigma is
+    # trilerp spill (<=1 fine voxel outside an occupied supercell) can be
+    # killed by one prelude and kept by the other, so tiny opacity
+    # (~1e-2) may appear in one image only. Both are conservative for
+    # real (voxel-supported) content; require tight agreement up to that
+    # boundary-graze scale.
+    np.testing.assert_allclose(np.asarray(blk["opacity"]),
+                               np.asarray(flat["opacity"]), atol=1.5e-2)
+    np.testing.assert_allclose(np.asarray(blk["rgb"]),
+                               np.asarray(flat["rgb"]), atol=1.5e-2)
+    mse = float(np.mean((np.asarray(blk["rgb"])
+                         - np.asarray(flat["rgb"])) ** 2))
+    assert -10 * np.log10(max(mse, 1e-12)) > 45.0
+    # bucketing internals: block grouping covers exactly the block-hit rays
+    buckets, N, blocked = cull_and_buckets(baked, ro, rd, 1 << 12,
+                                           img_wh=(W, H))
+    assert blocked and N == W * H
+    sl = np.concatenate([b[0] for b in buckets])
+    assert len(sl) % 4 == 0 and len(np.unique(sl)) == len(sl)
