@@ -111,6 +111,7 @@ def main():
     rays_o, rays_d = get_rays(dirs800, jnp.asarray(test_ds.poses[0]))
 
     blk_flag = len(sys.argv) > 5 and sys.argv[5] == "block"
+    noq = "noq" in sys.argv[1:]
     buckets, N_total, blocked = cull_and_buckets(
         baked, rays_o, rays_d, 1 << 18,
         img_wh=(800, 800) if blk_flag else None)
@@ -151,6 +152,17 @@ def main():
               + jnp.clip(u[:, 1].astype(jnp.int32), 0, B - 1) * B
               + jnp.clip(u[:, 2].astype(jnp.int32), 0, B - 1))
         return rows[ii].astype(jnp.float32).sum()
+
+    @jax.jit
+    def fetch_quant(row_index, rows_q, x):
+        """v3 color fetch: narrow index gather + 32 B int8 row + dequant."""
+        u = (x + scale) / (2 * scale) * B - 0.5
+        ii = (jnp.clip(u[:, 0].astype(jnp.int32), 0, B - 1) * (B * B)
+              + jnp.clip(u[:, 1].astype(jnp.int32), 0, B - 1) * B
+              + jnp.clip(u[:, 2].astype(jnp.int32), 0, B - 1))
+        fq = rows_q[row_index[ii]]
+        sc = jax.lax.bitcast_convert_type(fq[:, -4:], jnp.float32)
+        return (fq[:, :27].astype(jnp.float32) * sc[:, None]).sum()
 
     @jax.jit
     def fetch_decode(rows, sh_d, x, seed):
@@ -200,6 +212,10 @@ def main():
           f"({M / 1e6:.1f}M rows/round) ---", flush=True)
     t_rng = timeit(lambda: rng_only(seed), name="rng_only (3 streams)")
     t_fetch = timeit(lambda: fetch_only(rows, kx), name="fetch_only")
+    if baked.rows_q is not None:
+        nq = baked.rows_q.shape[0]
+        timeit(lambda: fetch_quant(baked.row_index, baked.rows_q, kx),
+               name=f"fetch_quant (compact {nq * 32 / 1e6:.0f} MB)")
     t_fd = timeit(lambda: fetch_decode(rows, sh_d, kx, seed),
                   name="fetch+decode")
     tc0 = jnp.full((Np,), 0.1)
@@ -223,7 +239,9 @@ def main():
             rows, baked.aabb_lo, baked.aabb_hi, rob, rdb, k,
             B=B, scale=scale, interp="stochastic", T_threshold=1e-2,
             n_steps=n_steps, samples_per_round=S, mip=mip,
-            sigma=baked.sigma, color_window=cw, block4=blocked)
+            sigma=baked.sigma, color_window=cw, block4=blocked,
+            row_index=None if noq else baked.row_index,
+            rows_q=None if noq else baked.rows_q)
         res = fn()          # compile + counters
         pr = np.asarray(res["phase_rounds"])
         pa = np.asarray(res["phase_alive"])

@@ -363,6 +363,48 @@ def test_split_color_path_matches_exact():
     assert psnr > 38.0, f"window-8 vs exact PSNR {psnr:.1f}"
 
 
+def test_quantized_color_table_matches_dense():
+    """The occupied-only int8 color table (rows_q/row_index) must leave
+    opacity/depth bit-identical (sigma path untouched) and rgb within
+    int8 quantization noise of the dense split path."""
+    B = 48
+    baked = bake_field(analytic_field, SCALE, resolution=B, n_dirs=16,
+                       dtype=jnp.float32)
+    assert baked.rows_q is not None and baked.row_index is not None
+    # structure: reserved zero row, index map hits only baked voxels
+    rq = np.asarray(baked.rows_q)
+    ri = np.asarray(baked.row_index)
+    assert (rq[0] == 0).all()
+    assert rq.shape[0] == int(ri.max()) + 1
+    occ = np.asarray(baked.rows[:, 0]) > 0
+    assert (ri[occ] > 0).all()
+    W = H = 64
+    f = 0.5 * W / np.tan(0.5 * np.deg2rad(45.0))
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
+    dirs = jnp.asarray(get_ray_directions(H, W, K))
+    ro, rd = get_rays(dirs, jnp.asarray(look_at_pose(
+        np.array([0.9, 0.25, 0.75]))))
+    rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    from arnerf_tpu.rendering_baked import render_baked_uniform
+    kw = dict(B=B, scale=SCALE, interp="stochastic", T_threshold=1e-3,
+              n_steps=96, samples_per_round=16, mip=baked.mip,
+              sigma=baked.sigma, color_window=8)
+    key = jax.random.PRNGKey(5)
+    dense = render_baked_uniform(baked.rows, baked.aabb_lo, baked.aabb_hi,
+                                 ro, rd, key, **kw)
+    quant = render_baked_uniform(baked.rows, baked.aabb_lo, baked.aabb_hi,
+                                 ro, rd, key, row_index=baked.row_index,
+                                 rows_q=baked.rows_q, **kw)
+    np.testing.assert_array_equal(np.asarray(quant["opacity"]),
+                                  np.asarray(dense["opacity"]))
+    np.testing.assert_array_equal(np.asarray(quant["depth"]),
+                                  np.asarray(dense["depth"]))
+    mse = float(np.mean((np.asarray(quant["rgb"])
+                         - np.asarray(dense["rgb"])) ** 2))
+    psnr = -10 * np.log10(max(mse, 1e-12))
+    assert psnr > 40.0, f"quantized vs dense color PSNR {psnr:.1f}"
+
+
 def test_block4_bucketing_matches_flat():
     """2x2-block bucketing + quarter-res prelude (block4) must reproduce
     the flat path's image: same weights up to the conservative window
