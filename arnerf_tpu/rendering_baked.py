@@ -241,10 +241,12 @@ def bake_field(field_fn, scale: float, resolution: int = 256,
     rows, aabb_lo, aabb_hi, mip, sigma = finalize(rows)
     row_index = rows_q = None
     if quantize_colors and V:
-        occ_j = jnp.asarray(occ_idx[:V], jnp.int32)
-
+        # occ_j rides as a jit ARGUMENT: a closed-over (V,) device array
+        # would embed as a program constant, which the axon remote
+        # compiler rejects at this size (HTTP 413; round-2 rule — same
+        # reason bake_chunk takes idx as an argument).
         @jax.jit
-        def build_quant(rows):
+        def build_quant(rows, occ_j):
             sh = rows[occ_j, 1:28].astype(jnp.float32)        # (V, 27)
             sc = jnp.max(jnp.abs(sh), axis=1) / 127.0         # (V,)
             q = jnp.round(sh / jnp.maximum(sc, 1e-20)[:, None]) \
@@ -258,7 +260,8 @@ def bake_field(field_fn, scale: float, resolution: int = 256,
             ri = jnp.zeros(B ** 3, jnp.int32).at[occ_j].set(
                 jnp.arange(1, V + 1, dtype=jnp.int32))
             return rq, ri
-        rows_q, row_index = build_quant(rows)
+        rows_q, row_index = build_quant(rows, jnp.asarray(occ_idx[:V],
+                                                          jnp.int32))
     return BakedField(rows=rows, resolution=B, scale=scale,
                       aabb_lo=aabb_lo, aabb_hi=aabb_hi, mip=mip,
                       sigma=sigma, row_index=row_index, rows_q=rows_q)
@@ -389,6 +392,15 @@ def render_baked_uniform(rows, aabb_lo, aabb_hi, rays_o, rays_d, key, *,
     N = rays_o.shape[0]
     use_split = (color_window > 0 and sigma is not None
                  and interp == "stochastic")
+    # normalize directions INTERNALLY: every spacing guarantee below
+    # (mip-prelude stride vs supercell width, block divergence, margin
+    # slack) is stated in world units, but production callers pass
+    # unnormalized pinhole dirs (|d| up to ~1.16 at a 45deg-fov corner),
+    # which would stretch coarse-sample spacing past the dilated-footprint
+    # bound. Internal t is world distance; output depth is converted back
+    # to the caller's ray parameterization at the end.
+    dn = jnp.linalg.norm(rays_d, axis=-1, keepdims=True).clip(1e-12)
+    rays_d = rays_d / dn
     hits = ray_aabb_intersect_single(rays_o, rays_d, (aabb_lo + aabb_hi) / 2,
                                      (aabb_hi - aabb_lo) / 2)
     t1 = jnp.maximum(hits[:, 0], 0.0)
@@ -397,8 +409,7 @@ def render_baked_uniform(rows, aabb_lo, aabb_hi, rays_o, rays_d, key, *,
     S = samples_per_round
     seed = jax.random.bits(key, dtype=jnp.uint32)
 
-    sh_d = sh9_basis(rays_d / jnp.linalg.norm(
-        rays_d, axis=-1, keepdims=True).clip(1e-12))          # (N, 9)
+    sh_d = sh9_basis(rays_d)                                  # (N, 9)
 
     t_end = t2
     if mip is not None and init_state is None:
@@ -420,14 +431,20 @@ def render_baked_uniform(rows, aabb_lo, aabb_hi, rays_o, rays_d, key, *,
         if block4:
             roc = rays_o[0::4]
             rdc = rays_d[0::4]
-            # block t-range = union of members: ray 0 can MISS the AABB
-            # while a sibling hits (blocks straddling the AABB silhouette
-            # survive culling if ANY member hits). Marching ray 0's line
-            # over the union range stays conservative: clipped coarse
-            # samples land within the <=0.2-supercell divergence of the
-            # hitting member, inside the mip's 1-supercell dilation.
-            t1c = t1.reshape(-1, 4).min(axis=1)
-            t2c = t2.reshape(-1, 4).max(axis=1)
+            # block t-range = union of the HITTING members: ray 0 can MISS
+            # the AABB while a sibling hits (blocks straddling the AABB
+            # silhouette survive culling if ANY member hits). Marching
+            # ray 0's line over that union stays conservative: clipped
+            # coarse samples land within the <=0.2-supercell divergence of
+            # the hitting member, inside the mip's 1-supercell dilation.
+            # Members that miss must be EXCLUDED from the min: their t1
+            # clamps to 0, which would anchor the static Kc-sample window
+            # (one box diagonal long) at the camera and let it end before
+            # the block's far geometry. All-miss (pad) blocks get an empty
+            # inverted range and die in the t_c < t2c mask.
+            hit4 = (t2 > t1).reshape(-1, 4)
+            t1c = jnp.where(hit4, t1.reshape(-1, 4), 1e30).min(axis=1)
+            t2c = jnp.where(hit4, t2.reshape(-1, 4), -1e30).max(axis=1)
             step_c = w_c
         else:
             roc, rdc, t1c, t2c = rays_o, rays_d, t1, t2
@@ -642,7 +659,8 @@ def render_baked_uniform(rows, aabb_lo, aabb_hi, rays_o, rays_d, key, *,
         t_cur, opacity, depth = t_cur[inv], opacity[inv], depth[inv]
         rgb, alive = rgb[inv], alive[inv]
 
-    out = {"opacity": opacity, "depth": depth, "rgb": rgb,
+    # depth back to the caller's (possibly unnormalized) parameterization
+    out = {"opacity": opacity, "depth": depth / dn[:, 0], "rgb": rgb,
            # frame-anatomy counters (scalars; ~free to carry):
            # rounds executed and rays admitted by the coarse prelude, plus
            # the CUMULATIVE round count and alive count at each phase exit
@@ -662,7 +680,7 @@ def cull_and_buckets(baked: BakedField, rays_o, rays_d, chunk: int = 1 << 18,
                      img_wh=None):
     """Host-side tight-AABB cull + power-of-two bucketing.
 
-    Returns (buckets, N) where each bucket is (sl, ro, rd, n): sl the
+    Returns (buckets, N, blocked) where each bucket is (sl, ro, rd, n): sl the
     original ray indices (np), ro/rd the padded device arrays, n the valid
     count. Shared by render_baked (which composes a frame with per-bucket
     readbacks) and by device-side FPS timing (which dispatches buckets and

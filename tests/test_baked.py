@@ -363,6 +363,42 @@ def test_split_color_path_matches_exact():
     assert psnr > 38.0, f"window-8 vs exact PSNR {psnr:.1f}"
 
 
+def test_block4_silhouette_block_far_content():
+    """A 2x2 block whose ray 0 MISSES the tight AABB while a sibling hits
+    content far from the camera (entry t > one box diagonal) must still
+    render: the block prelude's t-window must anchor at the HITTING
+    members' entry, not at a missed member's clamped t1=0 (which would
+    end the static diagonal-length coarse window before the geometry).
+    Directions are deliberately unnormalized (|d|=1.1): the prelude's
+    world-unit spacing guarantees require internal normalization."""
+    B = 48
+    baked = bake_field(analytic_field, SCALE, resolution=B, n_dirs=8,
+                       dtype=jnp.float32)
+    hi_y = float(np.asarray(baked.aabb_hi)[1])
+    # slab occupies y in [0.55, 0.62]*SCALE for ALL x,z: a -z ray at
+    # y=0.585*SCALE rides inside it (opaque on entry); one at hi_y+0.03
+    # misses the AABB entirely. Near-parallel block (same direction,
+    # small origin offset) mimics a silhouette-straddling pixel block.
+    d = jnp.asarray([[0.0, 0.0, -1.1]] * 4)
+    ro = jnp.asarray([[0.0, hi_y + 0.03, 3.0],
+                      [0.0, 0.585 * SCALE, 3.0],
+                      [0.0, 0.585 * SCALE, 3.0],
+                      [0.0, 0.585 * SCALE, 3.0]])
+    from arnerf_tpu.rendering_baked import render_baked_uniform
+    res = render_baked_uniform(
+        baked.rows, baked.aabb_lo, baked.aabb_hi, ro, d,
+        jax.random.PRNGKey(0), B=B, scale=SCALE, interp="stochastic",
+        T_threshold=1e-2, n_steps=192, samples_per_round=16,
+        mip=baked.mip, sigma=baked.sigma, color_window=8, block4=True,
+        row_index=baked.row_index, rows_q=baked.rows_q)
+    opa = np.asarray(res["opacity"])
+    dep = np.asarray(res["depth"])
+    assert opa[0] == 0.0, f"missing ray rendered: {opa[0]}"
+    assert (opa[1:] > 0.9).all(), f"far content lost: {opa}"
+    # entry at world z=+0.5 face -> t_world ~ 2.5, caller param = /1.1
+    assert (np.abs(dep[1:] - 2.5 / 1.1) < 0.4).all(), dep
+
+
 def test_quantized_color_table_matches_dense():
     """The occupied-only int8 color table (rows_q/row_index) must leave
     opacity/depth bit-identical (sigma path untouched) and rgb within
