@@ -51,6 +51,38 @@ def main():
     from arnerf_tpu.training.losses import NeRFLossConfig
     from arnerf_tpu.datasets.synthetic import SyntheticDataset, SyntheticConfig
 
+    # ---- backend liveness gate ---------------------------------------------
+    # The axon pool can wedge for 30+ min after a crashed kernel, and a
+    # wedged backend HANGS jax.devices() (observed: 30 min stuck in init).
+    # Probe it in a killable subprocess first; if the pool never comes
+    # back, emit a well-formed zero record instead of hanging the driver.
+    import subprocess
+    if os.environ.get("PALLAS_AXON_POOL_IPS"):
+        alive = False
+        for attempt in range(3):
+            try:
+                r = subprocess.run(
+                    [sys.executable, "-c",
+                     "import jax, jax.numpy as jnp; "
+                     "print(float(jnp.ones((8, 8)).sum()))"],
+                    capture_output=True, timeout=360, text=True)
+                if r.returncode == 0 and "64.0" in r.stdout:
+                    alive = True
+                    break
+            except subprocess.TimeoutExpired:
+                pass
+            print(f"bench: backend probe {attempt} failed; waiting...",
+                  file=sys.stderr, flush=True)
+            time.sleep(120)
+        if not alive:
+            print(json.dumps({
+                "metric": "train_steps_per_s_8192rays", "value": 0.0,
+                "unit": "steps/s", "vs_baseline": 0.0,
+                "extra": {"error": "TPU backend unavailable (pool wedged); "
+                                   "no measurement possible this run"}}),
+                flush=True)
+            return
+
     dev = jax.devices()[0]
 
     def _sync(x):
