@@ -50,3 +50,22 @@ def hash_uniform(idx, seed, stream: int = 0):
     off = np.uint32((stream * 0x9E3779B9) & 0xFFFFFFFF)
     s = jnp.asarray(seed, jnp.uint32) + off
     return uniform_from_u32(hash_u32(jnp.asarray(idx, jnp.uint32) ^ hash_u32(s)))
+
+
+def hash_uniform3(idx, seed, stream: int = 0):
+    """THREE uniforms per element from ONE hash evaluation, by slicing the
+    32 well-mixed output bits into 11/11/10-bit fields. Resolution is
+    2^-11 / 2^-10 instead of 2^-24 — fine for rendering-time jitter
+    (stochastic trilerp: probability quantization <= 2^-10, far below the
+    bake's own int8 color noise) but NOT for training estimators, where
+    hash_uniform's 24-bit draws keep corner-probability bias at 3e-8.
+    3x fewer hash rows on the baked renderer's per-sample jitter, the
+    fine loop's only non-gather elementwise cost."""
+    off = np.uint32((stream * 0x9E3779B9) & 0xFFFFFFFF)
+    s = jnp.asarray(seed, jnp.uint32) + off
+    h = hash_u32(jnp.asarray(idx, jnp.uint32) ^ hash_u32(s))
+    u0 = (h & np.uint32(0x7FF)).astype(jnp.float32) * np.float32(2.0 ** -11)
+    u1 = ((h >> np.uint32(11)) & np.uint32(0x7FF)).astype(jnp.float32) \
+        * np.float32(2.0 ** -11)
+    u2 = (h >> np.uint32(22)).astype(jnp.float32) * np.float32(2.0 ** -10)
+    return u0, u1, u2

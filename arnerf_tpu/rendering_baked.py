@@ -388,7 +388,7 @@ def render_baked_uniform(rows, aabb_lo, aabb_hi, rays_o, rays_d, key, *,
     bounded by the tail weight itself (tested vs the exact path).
     color_window=0 disables the split (exact reference semantics).
     """
-    from .ops.rng import hash_uniform
+    from .ops.rng import hash_uniform3
     N = rays_o.shape[0]
     use_split = (color_window > 0 and sigma is not None
                  and interp == "stochastic")
@@ -501,8 +501,7 @@ def render_baked_uniform(rows, aabb_lo, aabb_hi, rays_o, rays_d, key, *,
             if interp == "stochastic":
                 ctr = (jnp.uint32(rounds) * jnp.uint32(Np * S)
                        + jnp.arange(Np * S, dtype=jnp.uint32))
-                jitter = tuple(hash_uniform(ctr, seed, stream=d + 1)
-                               for d in range(3))
+                jitter = hash_uniform3(ctr, seed, stream=1)
             in_range = (ts < te_p[:, None]) & alive[:, None]
 
             if not use_split:
