@@ -55,6 +55,11 @@ class MarchResults(NamedTuple):
     # worst-case bound; a carved scene needs ~2-6 — and the pre-clamp value
     # is the guard that truncation never actually happens.
     max_nseg: jnp.ndarray = None
+    # () TOTAL occupied-dilated segments over all rays (pooled path only;
+    # 0 elsewhere). The pooled marcher's capacity adapts on the MEAN
+    # total_nseg/N, not the max — one grazing ray no longer sizes the
+    # whole segment buffer.
+    total_nseg: jnp.ndarray = None
 
 
 def _lower_bound_rows(c_flat, rows, queries, K: int):
@@ -81,6 +86,26 @@ def _lower_bound_rows(c_flat, rows, queries, K: int):
 def _upper_bound(sorted_vals, queries):
     """Largest index i with sorted_vals[i] <= q, for each q. -1 if none."""
     return jnp.searchsorted(sorted_vals, queries, side="right").astype(jnp.int32) - 1
+
+
+def _lower_bound_var(c, base, length, queries, k_max: int):
+    """Variable-row lower bound: smallest x in [0, length_i) with
+    c[base_i + x] >= q_i, per query i (== length_i if none; garbage where
+    length_i == 0 — callers mask those slots).
+
+    Same branchless binary search as `_lower_bound_rows` but rows live at
+    per-query offsets `base` with per-query lengths `length` inside one
+    flat nondecreasing-within-row array `c`. `k_max` bounds every length
+    (static, sets the iteration count)."""
+    lo = jnp.zeros(queries.shape, jnp.int32)
+    hi = length
+    for _ in range(max(1, int(k_max).bit_length())):
+        mid = (lo + hi) // 2
+        val = c[base + jnp.minimum(mid, jnp.maximum(length - 1, 0))]
+        ge = val >= queries
+        hi = jnp.where(ge, mid, hi)
+        lo = jnp.where(ge, lo, mid + 1)
+    return lo
 
 
 def occupancy_lookup(occ_flat, pos, dt, *, scale: float, cascades: int,
@@ -266,6 +291,141 @@ def march_rays_train(rays_o, rays_d, hits_t, occ_flat, noise, *,
         deltas=dt_m * fvalid, ts=t_m * fvalid, ray_idx=r, valid=valid,
         ray_start=ray_start, counts=alloc, rm_samples=total_demand,
         max_nseg=max_nseg)
+
+
+@partial(jax.jit, static_argnames=(
+    "scale", "cascades", "exp_step_factor", "grid_size", "max_samples",
+    "n_candidates", "m_cap", "s_cap", "seg_pool_cap"))
+def march_rays_train_pooled(rays_o, rays_d, hits_t, occ_flat, noise, *,
+                            scale: float, cascades: int,
+                            exp_step_factor: float, grid_size: int,
+                            max_samples: int, n_candidates: int,
+                            m_cap: int, s_cap: int, occ_coarse,
+                            seg_pool_cap: int) -> MarchResults:
+    """Two-level train marching with a SHARED cross-ray segment pool.
+
+    `march_rays_train`'s two-level path pads segments per ray to `seg_cap`,
+    so every marching cost (fine occupancy gathers, selection searches)
+    scales with the WORST ray — a single ray grazing along occupied
+    geometry pins seg_cap at its 64 maximum for the whole batch. Here the
+    occupied-segment selection is compacted across rays into one static
+    pool of `seg_pool_cap` slots (exactly the trick the sample buffer
+    already uses), so capacity is sized by the batch MEAN. When total
+    demand exceeds the pool, each ray's occupied segments are STRIDED
+    (uniformly thinned along the ray, same policy as the sample budget) —
+    never truncated, so no geometry interval is systematically
+    unsupervised. When demand fits (a carved grid — normal operation), the
+    sample set equals `march_rays_train`'s single-level path exactly.
+
+    Requires `occ_coarse` (build_coarse_occupancy) and cascades == 1;
+    render_train guards. The reference analogue remains
+    raymarching_train_kernel (models/csrc/raymarching.cu:166-332), whose
+    atomic global compaction this reproduces deterministically — including
+    its property that buffer pressure from one ray never changes which
+    cells OTHER rays may sample.
+    """
+    N = rays_o.shape[0]
+    K = n_candidates
+    F = COARSE_FACTOR
+    CG = grid_size // F
+    K1 = pl_cdiv(K, F)
+    Sp = seg_pool_cap
+    cd = partial(calc_dt, exp_step_factor=exp_step_factor,
+                 max_samples=max_samples, grid_size=grid_size, scale=scale)
+    lt = partial(lattice_t, exp_step_factor=exp_step_factor,
+                 max_samples=max_samples, grid_size=grid_size, scale=scale)
+
+    hits_t = jax.lax.stop_gradient(hits_t)
+    t1, t2 = hits_t[:, 0], hits_t[:, 1]
+    ray_ok = t1 >= 0
+    t1 = jnp.where(ray_ok, t1 + cd(t1) * noise, t1)
+
+    # ---- coarse pass: occupied-dilated supercell segments per ray ----------
+    jj = (jnp.arange(K1, dtype=jnp.int32) * F)[None, :]
+    t_seg = lt(t1[:, None], jj)                                # (N, K1)
+    pos_s = rays_o[:, None, :] + t_seg[..., None] * rays_d[:, None, :]
+    mb = min(0.5, scale)
+    nc = jnp.clip(0.5 * (pos_s / mb + 1.0) * CG, 0.0, CG - 1.0)
+    nc = nc.astype(jnp.int32)
+    cflat = (nc[..., 0] * CG + nc[..., 1]) * CG + nc[..., 2]
+    seg_elig = (occ_coarse[cflat] > 0) & (t_seg < t2[:, None]) \
+        & ray_ok[:, None]
+    c1 = jnp.cumsum(seg_elig.astype(jnp.int32), axis=1)        # (N, K1)
+    dseg = c1[:, -1]                                           # (N,)
+    max_nseg = jnp.max(dseg)
+    total_nseg = jnp.sum(dseg)
+
+    # ---- segment compaction into the shared pool ---------------------------
+    ratio_s = jnp.minimum(
+        1.0, Sp / jnp.maximum(total_nseg, 1).astype(jnp.float32))
+    alloc_s = jnp.floor(dseg.astype(jnp.float32) * ratio_s).astype(jnp.int32)
+    stride_s = dseg.astype(jnp.float32) \
+        / jnp.maximum(alloc_s, 1).astype(jnp.float32)
+    seg_start = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                 jnp.cumsum(alloc_s)[:-1].astype(jnp.int32)])
+    p = jnp.arange(Sp, dtype=jnp.int32)
+    r_p = jnp.clip(_upper_bound(seg_start, p), 0, N - 1)       # (Sp,)
+    s_p = p - seg_start[r_p]
+    valid_p = s_p < alloc_s[r_p]
+    j_p = jnp.floor(s_p.astype(jnp.float32) * stride_s[r_p]).astype(jnp.int32)
+    j_p = jnp.minimum(j_p, jnp.maximum(dseg[r_p] - 1, 0))
+    sel = _lower_bound_rows(c1.reshape(-1), r_p, j_p + 1, K1)  # (Sp,)
+    k_base = jnp.minimum(sel, K1 - 1) * F                      # global step
+
+    # ---- fine pass over pooled segments only -------------------------------
+    ks_f = k_base[:, None] + jnp.arange(F, dtype=jnp.int32)[None, :]
+    t_cand = lt(t1[r_p][:, None], ks_f)                        # (Sp, F)
+    dt_cand = cd(t_cand)
+    pos = rays_o[r_p][:, None, :] + t_cand[..., None] * rays_d[r_p][:, None, :]
+    occ = occupancy_lookup(occ_flat, pos, dt_cand, scale=scale,
+                           cascades=cascades, grid_size=grid_size)
+    elig = occ & (t_cand < t2[r_p][:, None]) & valid_p[:, None]
+
+    # ---- sample compaction (global cumsum over the ray-contiguous pool) ----
+    # pool slots are ray-contiguous (seg_start is a cumsum), so one GLOBAL
+    # inclusive cumsum gives every per-ray prefix count via two gathers
+    cg = jnp.cumsum(elig.reshape(-1).astype(jnp.int32))        # (Sp*F,)
+    cg0 = jnp.concatenate([jnp.zeros((1,), jnp.int32), cg])    # (Sp*F+1,)
+    fine_base = seg_start * F                                  # (N,)
+    fine_len = alloc_s * F                                     # (N,)
+    cnt = cg0[jnp.minimum(fine_base + fine_len, Sp * F)] - cg0[fine_base]
+    demand = jnp.minimum(cnt, s_cap)                           # (N,)
+    total_demand = jnp.sum(demand)
+    ratio = jnp.minimum(
+        1.0, m_cap / jnp.maximum(total_demand, 1).astype(jnp.float32))
+    alloc = jnp.floor(demand.astype(jnp.float32) * ratio).astype(jnp.int32)
+    stride = demand.astype(jnp.float32) \
+        / jnp.maximum(alloc, 1).astype(jnp.float32)
+    ray_start = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                 jnp.cumsum(alloc)[:-1].astype(jnp.int32)])
+
+    m = jnp.arange(m_cap, dtype=jnp.int32)
+    r = jnp.clip(_upper_bound(ray_start, m), 0, N - 1)         # (M,)
+    s = m - ray_start[r]
+    valid = s < alloc[r]
+    j = jnp.floor(s.astype(jnp.float32) * stride[r]).astype(jnp.int32)
+    j = jnp.minimum(j, jnp.maximum(demand[r] - 1, 0))
+    # (j+1)-th eligible fine sample within ray r's pool region
+    q = cg0[fine_base[r]] + j + 1
+    x = _lower_bound_var(cg, fine_base[r], fine_len[r], q, k_max=K)
+    flat_idx = fine_base[r] \
+        + jnp.minimum(x, jnp.maximum(fine_len[r] - 1, 0))
+    k_sel = ks_f.reshape(-1)[flat_idx]                         # global step
+
+    # ---- reconstruct sample attributes from the closed form ----------------
+    t_m = lt(t1[r], k_sel)
+    # integration step scales by BOTH thinning factors: segment striding
+    # (stride_s, pool pressure) and sample striding (stride, m_cap
+    # pressure); both are 1 once the grid is carved
+    dt_m = cd(t_m) * stride[r] * stride_s[r]
+    dirs = rays_d[r]
+    xyzs = rays_o[r] + t_m[:, None] * dirs
+    fvalid = valid.astype(t_m.dtype)
+    return MarchResults(
+        xyzs=xyzs * fvalid[:, None], dirs=dirs * fvalid[:, None],
+        deltas=dt_m * fvalid, ts=t_m * fvalid, ray_idx=r, valid=valid,
+        ray_start=ray_start, counts=alloc, rm_samples=total_demand,
+        max_nseg=max_nseg, total_nseg=total_nseg)
 
 
 @partial(jax.jit, static_argnames=(

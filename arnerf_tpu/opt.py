@@ -75,6 +75,14 @@ def get_opts(args=None):
                              'trilinear in expectation (ops/hashgrid.py). '
                              'auto = on for accelerator backends. Ignored '
                              'with --optimize_ext (needs position grads).')
+    parser.add_argument('--seg_pool', type=str, default='on',
+                        choices=['on', 'off'],
+                        help='shared cross-ray segment pool for two-level '
+                             'train marching (march_rays_train_pooled): '
+                             'marching cost scales with the batch-MEAN '
+                             'segment demand instead of the worst ray. '
+                             'Single-cascade scenes only (others fall '
+                             'back automatically).')
 
     # HDR
     parser.add_argument('--train_SH_HDR_mapping', action='store_true',

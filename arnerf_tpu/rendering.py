@@ -48,13 +48,13 @@ def default_candidates(cfg: NGPConfig, exp_step_factor: float,
 
 @partial(jax.jit, static_argnames=(
     "cfg", "exp_step_factor", "T_threshold", "random_bg", "m_cap", "s_cap",
-    "max_samples", "seg_cap", "stoch"))
+    "max_samples", "seg_cap", "stoch", "seg_pool"))
 def render_train(params, grid_state, rays_o, rays_d, key, cfg: NGPConfig, *,
                  exp_step_factor: float = 0.0, T_threshold: float = 1e-4,
                  random_bg: bool = False, m_cap: int = 256 * 1024,
                  s_cap: int = MAX_SAMPLES, max_samples: int = MAX_SAMPLES,
                  seg_cap: int = 64, exposure=None, mesh_depth_map=None,
-                 stoch: bool = False):
+                 stoch: bool = False, seg_pool: int = 0):
     """Differentiable training-path render. Returns the reference's results
     dict (rendering.py:255-298): rgb, opacity, depth, ws, deltas, ts +
     segment layout + sample counters.
@@ -62,7 +62,13 @@ def render_train(params, grid_state, rays_o, rays_d, key, cfg: NGPConfig, *,
     stoch=True evaluates the field with stochastic-corner hash gathers
     (8x fewer rows, unbiased trilerp estimator — ops/hashgrid.py). Not
     valid with --optimize_ext (position gradients vanish); the trainer
-    gates it."""
+    gates it.
+
+    seg_pool > 0 routes two-level marching through the shared cross-ray
+    segment pool of that many TOTAL slots (march_rays_train_pooled):
+    marching cost scales with mean segment demand instead of the worst
+    ray's. Ignored (falls back to the per-ray seg_cap path) for
+    multi-cascade scenes or when seg_cap == 0 (warmup)."""
     k_noise, k_bg, k_stoch = jax.random.split(key, 3)
     seed = jax.random.bits(k_stoch, dtype=jnp.uint32) if stoch else None
     hits = scene_hits(rays_o, rays_d, cfg, mesh_depth_map)
@@ -78,14 +84,27 @@ def render_train(params, grid_state, rays_o, rays_d, key, cfg: NGPConfig, *,
             dilate=coarse_dilation_radius(
                 scale=cfg.scale, exp_step_factor=exp_step_factor,
                 grid_size=cfg.grid_size, max_samples=max_samples))
-    mr = march_rays_train(
-        rays_o, rays_d, hits, grid_state.occ_flat, noise,
-        scale=cfg.scale, cascades=cfg.cascades,
-        exp_step_factor=exp_step_factor, grid_size=cfg.grid_size,
-        max_samples=max_samples,
-        n_candidates=default_candidates(cfg, exp_step_factor, max_samples),
-        m_cap=m_cap, s_cap=s_cap, occ_coarse=occ_coarse,
-        seg_cap=max(seg_cap, 1))
+    if seg_pool > 0 and occ_coarse is not None:
+        from .ops.marching import march_rays_train_pooled
+        mr = march_rays_train_pooled(
+            rays_o, rays_d, hits, grid_state.occ_flat, noise,
+            scale=cfg.scale, cascades=cfg.cascades,
+            exp_step_factor=exp_step_factor, grid_size=cfg.grid_size,
+            max_samples=max_samples,
+            n_candidates=default_candidates(cfg, exp_step_factor,
+                                            max_samples),
+            m_cap=m_cap, s_cap=s_cap, occ_coarse=occ_coarse,
+            seg_pool_cap=seg_pool)
+    else:
+        mr = march_rays_train(
+            rays_o, rays_d, hits, grid_state.occ_flat, noise,
+            scale=cfg.scale, cascades=cfg.cascades,
+            exp_step_factor=exp_step_factor, grid_size=cfg.grid_size,
+            max_samples=max_samples,
+            n_candidates=default_candidates(cfg, exp_step_factor,
+                                            max_samples),
+            m_cap=m_cap, s_cap=s_cap, occ_coarse=occ_coarse,
+            seg_cap=max(seg_cap, 1))
 
     sample_exposure = None
     if exposure is not None:
@@ -112,6 +131,8 @@ def render_train(params, grid_state, rays_o, rays_d, key, cfg: NGPConfig, *,
         "ray_start": mr.ray_start, "counts": mr.counts,
         "rm_samples": mr.rm_samples, "vr_samples": comp.vr_samples,
         "max_nseg": mr.max_nseg,
+        "total_nseg": (mr.total_nseg if mr.total_nseg is not None
+                       else jnp.int32(0)),
     }
 
 

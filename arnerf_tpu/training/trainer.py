@@ -68,6 +68,14 @@ class TrainConfig:
     # carved scene needs ~2-6 — _maybe_adapt_seg_cap shrinks it toward the
     # measured per-block max (and instantly grows it back near truncation)
     seg_cap: int = 64
+    # shared cross-ray segment pool (march_rays_train_pooled): seg_cap
+    # becomes the pool's MEAN slots/ray (total = batch*seg_cap) instead of
+    # a per-ray pad, so one grazing ray no longer sizes the whole marching
+    # cost and _maybe_adapt_seg_cap tracks the batch-mean demand. At
+    # seg_cap=64 with 512 candidates the pool provably never strides
+    # (per-ray demand <= 64 segments), so enabling this is exact-or-better
+    # vs the per-ray path. Single-cascade scenes only (others fall back).
+    seg_pool: bool = True
     s_cap: int = MAX_SAMPLES
     max_samples: int = MAX_SAMPLES
     val_batch_size: int = 1 << 20        # reference opt.py:66-67
@@ -159,7 +167,10 @@ def train_step_impl(params, opt_state, grid_state, images, poses, directions,
             seg_cap=seg_cap, exposure=exposure,
             # stochastic corners zero the position cotangent, which
             # --optimize_ext needs through rays_o/rays_d
-            stoch=cfg.stoch_corners and not tc.optimize_ext)
+            stoch=cfg.stoch_corners and not tc.optimize_ext,
+            # shared segment pool sized by the batch mean (seg_cap slots/ray)
+            seg_pool=(tc.batch_size * seg_cap
+                      if tc.seg_pool and seg_cap > 0 else 0))
         ld = nerf_loss(results, rgb_gt, tc.loss)
         if tc.use_exposure:
             # anchor the tonemappers at unit exposure (reference
@@ -186,6 +197,10 @@ def train_step_impl(params, opt_state, grid_state, images, poses, directions,
         "vr_s": results["vr_samples"] / tc.batch_size,
         # float: joined with lax.pmean under the mesh
         "nseg": results["max_nseg"].astype(jnp.float32),
+        # mean occupied-dilated segments/ray (pooled marcher's adaptation
+        # signal; 0 on the per-ray path)
+        "nseg_avg": (results["total_nseg"].astype(jnp.float32)
+                     / tc.batch_size),
     }
     if axis_name is not None:
         nseg = metrics.pop("nseg")
@@ -259,6 +274,7 @@ class NeRFTrainer:
                  test_dataset=None, key=None, mesh=None):
         self.cfg = cfg
         self.tc = tc
+        self._initial_budget = tc.samples_per_ray_budget  # grow-back ceiling
         self.dataset = dataset
         self.test_dataset = test_dataset
         self.mesh = mesh
@@ -294,9 +310,13 @@ class NeRFTrainer:
     def _build_steps(self):
         kw = dict(cfg=self.cfg, tc=self.tc, tx=self.tx,
                   exp_step_factor=self.exp_step_factor)
+        # train_block_impl derives its per-step seg_cap from tc internally;
+        # the single-step path must bind it explicitly or the adapted
+        # tc.seg_cap would be silently ignored (impl default: 64)
+        step_impl = partial(train_step_impl, seg_cap=self.tc.seg_cap)
         if self.mesh is None:
             self._step = jax.jit(
-                partial(train_step_impl, axis_name=None, **kw),
+                partial(step_impl, axis_name=None, **kw),
                 donate_argnums=(0, 1))
             import os
             # donated params/opt/grid buffers: in-place updates, ~0.2 GB/step
@@ -312,7 +332,7 @@ class NeRFTrainer:
                 static_argnames=("seg_cap",), donate_argnums=(0, 1))
         else:
             from ..parallel.dp import make_dp_train_step, make_dp_train_block
-            self._step = make_dp_train_step(self.mesh, train_step_impl, kw)
+            self._step = make_dp_train_step(self.mesh, step_impl, kw)
             self._block = make_dp_train_block(self.mesh, train_block_impl,
                                               kw)
 
@@ -420,37 +440,93 @@ class NeRFTrainer:
 
     def _maybe_adapt_budget(self, rm_s: float, patience: int = 3,
                             floor: int = 8) -> bool:
-        """rm_s: measured demanded samples/ray. Returns True on rebuild."""
+        """rm_s: measured demanded samples/ray. Returns True on rebuild.
+
+        Shrinks to FIT (smallest multiple of 8 holding demand + 30%
+        headroom), not just by halving: typical Blender-like demand sits at
+        18-25 samples/ray mid-training — above the halving rule's trigger
+        (rm_s*1.3 < budget/2) but well under the 32 budget, leaving a
+        quarter of every hot cost (gathers, backward sorts, compositing)
+        as padding. Multiples of 8 keep the set of compiled shapes small so
+        the persistent compile cache amortizes rebuilds across runs."""
         if not self.tc.adaptive_budget or self.step < self.tc.warmup_steps:
             return False
+        from dataclasses import replace as _replace
         budget = self.tc.samples_per_ray_budget
-        half = budget // 2
-        if half >= floor and rm_s * 1.3 < half:
-            self._shrink_votes = getattr(self, "_shrink_votes", 0) + 1
-            if self._shrink_votes >= patience:
-                from dataclasses import replace as _replace
-                self.tc = _replace(self.tc, samples_per_ray_budget=half)
+        fit = max(floor, int(-(-(rm_s * 1.3) // 8)) * 8)
+        if rm_s * 1.1 > budget and fit > budget:
+            # demand grew back past the buffer (grid re-densified): samples
+            # are being strided — restore headroom immediately, no votes
+            grow = min(fit, self._initial_budget)
+            if grow > budget:
+                self.tc = _replace(self.tc, samples_per_ray_budget=grow)
                 self._build_steps()
                 self._shrink_votes = 0
-                print(f"sample budget {budget} -> {half} "
+                print(f"sample budget {budget} -> {grow} "
+                      f"(demand {rm_s:.1f}/ray)", flush=True)
+                return True
+        if fit <= budget - 8:
+            self._shrink_votes = getattr(self, "_shrink_votes", 0) + 1
+            if self._shrink_votes >= patience:
+                self.tc = _replace(self.tc, samples_per_ray_budget=fit)
+                self._build_steps()
+                self._shrink_votes = 0
+                print(f"sample budget {budget} -> {fit} "
                       f"(demand {rm_s:.1f}/ray)", flush=True)
                 return True
         else:
             self._shrink_votes = 0
         return False
 
+    @property
+    def _pool_mode(self) -> bool:
+        """Shared-segment-pool marching active (tc.seg_pool wired through
+        render_train; multi-cascade scenes fall back to the per-ray path)."""
+        return bool(self.tc.seg_pool) and self.cfg.cascades == 1
+
+    def seg_metric(self, metrics) -> float:
+        """The segment-demand signal _maybe_adapt_seg_cap expects: the
+        batch MEAN (nseg_avg) in pool mode, the per-block MAX (nseg) on
+        the per-ray path."""
+        key = "nseg_avg" if self._pool_mode else "nseg"
+        return float(metrics.get(key, 64))
+
     def _maybe_adapt_seg_cap(self, nseg: float, patience: int = 3,
                              floor: int = 8) -> bool:
-        """nseg: measured per-block MAX occupied-dilated segments per ray
-        (pre-clamp, so values above seg_cap mean truncation is active).
-        Shrinks the marching segment buffer toward demand with hysteresis;
-        grows back IMMEDIATELY when demand approaches the cap, so marching
-        exactness (two-level == single-level, ops/marching.py) is restored
-        within one block of any density re-growth."""
+        """nseg: measured segment demand per ray — the per-block MAX on
+        the per-ray path (pre-clamp, so values above seg_cap mean
+        truncation is active), the batch MEAN in pool mode (callers use
+        `seg_metric`). Shrinks the marching segment buffer toward demand
+        with hysteresis; grows back IMMEDIATELY when demand approaches the
+        cap, so marching exactness (two-level == single-level,
+        ops/marching.py) is restored within one block of any density
+        re-growth. In pool mode the shrink is to-fit in multiples of 8
+        (striding, not truncation, absorbs any residual overflow)."""
         if not self.tc.adaptive_budget or self.step < self.tc.warmup_steps:
             return False
         from dataclasses import replace as _replace
         cap = self.tc.seg_cap
+        if self._pool_mode:
+            fit = max(floor, int(-(-(nseg * 1.3) // 8)) * 8)
+            if nseg * 1.1 > cap and fit > cap:
+                self.tc = _replace(self.tc, seg_cap=min(fit, 64))
+                self._build_steps()
+                self._segcap_votes = 0
+                print(f"seg pool {cap} -> {self.tc.seg_cap}/ray "
+                      f"(mean demand {nseg:.1f})", flush=True)
+                return True
+            if fit <= cap - 8:
+                self._segcap_votes = getattr(self, "_segcap_votes", 0) + 1
+                if self._segcap_votes >= patience:
+                    self.tc = _replace(self.tc, seg_cap=fit)
+                    self._build_steps()
+                    self._segcap_votes = 0
+                    print(f"seg pool {cap} -> {fit}/ray "
+                          f"(mean demand {nseg:.1f})", flush=True)
+                    return True
+            else:
+                self._segcap_votes = 0
+            return False
         if nseg > 0.75 * cap and cap < 64:
             self.tc = _replace(self.tc, seg_cap=min(64, cap * 2))
             self._build_steps()
@@ -501,7 +577,7 @@ class NeRFTrainer:
                     if "rm_s" in last:
                         self._maybe_adapt_budget(float(last["rm_s"]))
                     if "nseg" in last:
-                        self._maybe_adapt_seg_cap(float(last["nseg"]))
+                        self._maybe_adapt_seg_cap(self.seg_metric(last))
                 else:
                     last = self.train_step()
             except Exception as e:  # TPU worker crash / infra failure

@@ -206,6 +206,7 @@ def main():
     tc = TrainConfig(batch_size=8192, lr=1e-2,
                      num_epochs=max(1, race_cap_steps // 480),
                      steps_per_epoch=480, warmup_steps=256,
+                     seg_pool=_arg("--seg_pool", "on", str) == "on",
                      samples_per_ray_budget=_arg("--budget", 32),
                      loss=NeRFLossConfig(grid_scale=0.5,
                                          lambda_distortion=1e-3))
@@ -332,7 +333,7 @@ def main():
         # off the race clock (single vote: the metrics summarize a whole
         # group — rm_s from its last block, nseg a per-block max)
         adapted = trainer._maybe_adapt_budget(float(m["rm_s"]), patience=1)
-        adapted |= trainer._maybe_adapt_seg_cap(float(m.get("nseg", 64)),
+        adapted |= trainer._maybe_adapt_seg_cap(trainer.seg_metric(m),
                                                 patience=1)
         if adapted:
             t0 = time.time()
@@ -355,13 +356,50 @@ def main():
         val_wall += time.time() - t0
         print(f"bench: step {trainer.step} val {val['psnr']:.2f} dB "
               f"({group * bs / dt:.1f} steps/s, "
-              f"race {train_wall + val_wall:.0f}s)",
+              f"race {train_wall + val_wall:.0f}s, "
+              f"rm_s {float(m['rm_s']):.1f}, nseg {float(m.get('nseg', 0)):.0f}, "
+              f"budget {trainer.tc.samples_per_ray_budget}/"
+              f"{trainer.tc.seg_cap})",
               file=sys.stderr, flush=True)
         if crossed:
             time_to_target = train_wall + val_wall
             break
     print(f"bench: steady {steady:.1f} steps/s; time_to_{target_db:g}db "
           f"{time_to_target:.0f}s", file=sys.stderr, flush=True)
+
+    # ---- post-gate steady phase ---------------------------------------------
+    # The race covers only the first ~800 steps (uncarved grid, worst-case
+    # demand). A 30k-step reference-schedule run spends >95% of its steps in
+    # the POST-carve regime where the adaptive budget/seg_cap have settled —
+    # that rate is the one a full run's wall clock is made of, so measure it:
+    # keep training + adapting past the gate for ~post_s seconds and fold the
+    # best sustained group into `steady`.
+    post_s = _arg("--post_s", 150.0, float)
+    steady_post = 0.0
+    if time_to_target > 0 and post_s > 0:
+        t_post0 = time.time()
+        while time.time() - t_post0 < post_s:
+            t0 = time.time()
+            for _ in range(5):
+                m = trainer.train_block()
+            _sync(trainer.params["hash_table"])
+            dt = time.time() - t0
+            steady_post = max(steady_post, 5 * bs / dt)
+            adapted = trainer._maybe_adapt_budget(float(m["rm_s"]),
+                                                  patience=1)
+            adapted |= trainer._maybe_adapt_seg_cap(
+                trainer.seg_metric(m), patience=1)
+            if adapted:
+                m = trainer.train_block()
+                _sync(trainer.params["hash_table"])
+            print(f"bench: post-gate step {trainer.step} "
+                  f"{5 * bs / dt:.1f} steps/s, rm_s {float(m['rm_s']):.1f}, "
+                  f"nseg {float(m.get('nseg', 0)):.0f}, "
+                  f"budget {trainer.tc.samples_per_ray_budget}/"
+                  f"{trainer.tc.seg_cap}", file=sys.stderr, flush=True)
+        steady = max(steady, steady_post)
+        print(f"bench: post-gate steady {steady_post:.1f} steps/s",
+              file=sys.stderr, flush=True)
 
     # delivered bandwidth in THIS window, measured right next to the timing
     try:
@@ -460,6 +498,8 @@ def main():
             "race_steps": trainer.step,
             "final_sample_budget": trainer.tc.samples_per_ray_budget,
             "final_seg_cap": trainer.tc.seg_cap,
+            "seg_pool": bool(trainer.tc.seg_pool),
+            "steady_post_gate": round(steady_post, 2),
             "stoch_corners": bool(cfg.stoch_corners),
             "early_steps_per_s": round(steps_per_s, 2),
             "render_fps_800": round(fps, 2),

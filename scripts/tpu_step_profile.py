@@ -93,21 +93,29 @@ def main():
     sync(tr.params["hash_table"])
 
     from dataclasses import replace
+    # marching A/B at each budget: per-ray path at the uncarved-worst-case
+    # seg_cap 64 (round-2 production) vs the shared segment pool at mean
+    # capacities 32 and 16 (march_rays_train_pooled — the round-3 path)
+    variants = [("flat64", dict(seg_pool=False, seg_cap=64)),
+                ("pool32", dict(seg_pool=True, seg_cap=32)),
+                ("pool16", dict(seg_pool=True, seg_cap=16))]
     for budget in budgets:
-        tr.tc = replace(tr.tc, samples_per_ray_budget=budget)
-        tr._build_steps()
-        tr.train_block()
-        sync(tr.params["hash_table"])  # compile+warm
-        best = 0.0
-        for _ in range(3):
-            t0 = time.time()
-            for _ in range(4):
-                m = tr.train_block()
-            sync(tr.params["hash_table"])
-            best = max(best, 4 * bs / (time.time() - t0))
-        print(f"budget {budget}: {best:.2f} steps/s "
-              f"({1e3 / best:.0f} ms/step) rm_s={float(m['rm_s']):.1f} "
-              f"psnr={float(m['psnr']):.1f}", flush=True)
+        for vname, vkw in variants:
+            tr.tc = replace(tr.tc, samples_per_ray_budget=budget, **vkw)
+            tr._build_steps()
+            tr.train_block()
+            sync(tr.params["hash_table"])  # compile+warm
+            best = 0.0
+            for _ in range(3):
+                t0 = time.time()
+                for _ in range(4):
+                    m = tr.train_block()
+                sync(tr.params["hash_table"])
+                best = max(best, 4 * bs / (time.time() - t0))
+            print(f"budget {budget} {vname}: {best:.2f} steps/s "
+                  f"({1e3 / best:.0f} ms/step) rm_s={float(m['rm_s']):.1f} "
+                  f"nseg_avg={float(m.get('nseg_avg', 0)):.1f} "
+                  f"psnr={float(m['psnr']):.1f}", flush=True)
 
     print(f"window now: {stream_gbps():.0f} GB/s", flush=True)
 

@@ -1,5 +1,6 @@
-"""Adaptive sample budget: shrink when demand stays under half the budget,
-never below demand, with hysteresis; training continues at the new shape."""
+"""Adaptive sample budget: shrink-to-fit (multiple of 8 holding demand +
+30% headroom), never below demand, with hysteresis; grow back immediately
+under persistent striding; training continues at the new shape."""
 
 import numpy as np
 import jax
@@ -30,12 +31,37 @@ def test_budget_shrinks_with_hysteresis_and_training_continues():
     # a high-demand block resets the votes
     assert not tr._maybe_adapt_budget(30.0)
     assert tr.tc.samples_per_ray_budget == 32
-    # three consecutive low-demand votes shrink 32 -> 16
+    # three consecutive low-demand votes shrink straight to fit: 32 -> 8
     for _ in range(2):
         assert not tr._maybe_adapt_budget(5.0)
     assert tr._maybe_adapt_budget(5.0)
-    assert tr.tc.samples_per_ray_budget == 16
+    assert tr.tc.samples_per_ray_budget == 8
     # training still runs at the new shape
+    m = tr.train_step()
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_budget_shrinks_to_fit_not_just_halves():
+    # demand 18: 18*1.3 = 23.4 -> fit 24 (the halving rule would need
+    # demand < 12.3 and leave a quarter of the buffer as padding)
+    tr = make_trainer(samples_per_ray_budget=32)
+    tr.on_train_start()
+    for _ in range(2):
+        assert not tr._maybe_adapt_budget(18.0)
+    assert tr._maybe_adapt_budget(18.0)
+    assert tr.tc.samples_per_ray_budget == 24
+
+
+def test_budget_grows_back_under_persistent_striding():
+    tr = make_trainer(samples_per_ray_budget=32)
+    tr.on_train_start()
+    for _ in range(3):
+        tr._maybe_adapt_budget(5.0)
+    assert tr.tc.samples_per_ray_budget == 8
+    # demand rebounds past the buffer: grow back instantly (single call),
+    # capped at the configured initial budget
+    assert tr._maybe_adapt_budget(20.0)
+    assert tr.tc.samples_per_ray_budget == 32
     m = tr.train_step()
     assert np.isfinite(float(m["loss"]))
 
@@ -57,12 +83,12 @@ def test_budget_never_shrinks_below_demand_or_floor():
 
 
 def test_seg_cap_shrinks_and_grows_back():
-    """Adaptive marching seg_cap: shrinks toward measured demand with
-    hysteresis, grows back IMMEDIATELY near truncation, and training
-    continues at every shape (metrics expose the nseg guard)."""
-    tr = make_trainer(samples_per_ray_budget=16)
+    """Per-ray-path adaptive seg_cap (seg_pool=False): shrinks toward the
+    measured per-block MAX with hysteresis, grows back IMMEDIATELY near
+    truncation, and training continues at every shape."""
+    tr = make_trainer(samples_per_ray_budget=16, seg_pool=False)
     tr.on_train_start()
-    assert tr.tc.seg_cap == 64
+    assert tr.tc.seg_cap == 64 and not tr._pool_mode
     # demand 4: 4*1.6 < 32 -> three votes shrink 64 -> 32
     for _ in range(2):
         assert not tr._maybe_adapt_seg_cap(4.0)
@@ -86,12 +112,76 @@ def test_seg_cap_shrinks_and_grows_back():
 
 
 def test_seg_cap_never_truncates_silently():
-    """If nseg exceeds 0.75*seg_cap while already at 64, no change (64 is
-    the exactness bound for the procedural scene's worst case)."""
-    tr = make_trainer(samples_per_ray_budget=16)
+    """Per-ray path: if nseg exceeds 0.75*seg_cap while already at 64, no
+    change (64 is the exactness bound for the procedural scene's worst
+    case)."""
+    tr = make_trainer(samples_per_ray_budget=16, seg_pool=False)
     tr.on_train_start()
     assert not tr._maybe_adapt_seg_cap(60.0)
     assert tr.tc.seg_cap == 64
+
+
+def test_seg_pool_adapts_on_mean_demand():
+    """Pool mode (the default): seg_cap is the pool's MEAN slots/ray —
+    shrink-to-fit in multiples of 8 on the batch-mean demand, instant
+    grow-back when the mean overflows the pool (striding active), and
+    training continues at every shape."""
+    tr = make_trainer(samples_per_ray_budget=16)
+    tr.on_train_start()
+    assert tr._pool_mode and tr.tc.seg_cap == 64
+    # mean demand 10.5 -> fit ceil(13.65/8)*8 = 16, after 3 votes
+    for _ in range(2):
+        assert not tr._maybe_adapt_seg_cap(10.5)
+    assert tr._maybe_adapt_seg_cap(10.5)
+    assert tr.tc.seg_cap == 16
+    # mean demand rebounds past the pool: grow back instantly
+    assert tr._maybe_adapt_seg_cap(20.0)
+    assert tr.tc.seg_cap == 32          # ceil(26/8)*8
+    # floor holds
+    for _ in range(3):
+        tr._maybe_adapt_seg_cap(1.0)
+    assert tr.tc.seg_cap == 8
+    for _ in range(3):
+        assert not tr._maybe_adapt_seg_cap(1.0)
+    assert tr.tc.seg_cap == 8
+    # training still runs; metrics carry the pool's adaptation signal
+    m = tr.train_step()
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["nseg_avg"]) > 0
+    assert tr.seg_metric(m) == float(m["nseg_avg"])
+
+
+def test_seg_pool_equals_per_ray_path_when_demand_fits():
+    """When segment demand fits both capacities, pooled and per-ray
+    trainers select identical samples -> identical first-step losses.
+    (On this uncarved scene demand reaches ~91 segs/ray worst-case and
+    ~66 mean, so at the default 64 the flat path TRUNCATES while the pool
+    STRIDES — pool captures MORE samples, see the companion assert — and
+    only at 128 do both run exact.)"""
+    tr_pool = make_trainer(samples_per_ray_budget=16, seg_cap=128)
+    tr_flat = make_trainer(samples_per_ray_budget=16, seg_cap=128,
+                           seg_pool=False)
+    tr_pool.on_train_start()
+    tr_flat.on_train_start()
+    m1 = tr_pool.train_step()
+    m2 = tr_flat.train_step()
+    assert np.isclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    assert float(m1["rm_s"]) == float(m2["rm_s"])
+
+
+def test_seg_pool_beats_per_ray_truncation_at_equal_capacity():
+    """At the 64 default on the uncarved scene (demand > cap), the pool's
+    striding must capture at least as many samples as the flat path's
+    per-ray truncation — buffer pressure degrades gracefully instead of
+    silently dropping far geometry."""
+    tr_pool = make_trainer(samples_per_ray_budget=16)
+    tr_flat = make_trainer(samples_per_ray_budget=16, seg_pool=False)
+    tr_pool.on_train_start()
+    tr_flat.on_train_start()
+    m1 = tr_pool.train_step()
+    m2 = tr_flat.train_step()
+    assert float(m1["rm_s"]) >= float(m2["rm_s"])
+    assert np.isfinite(float(m1["loss"]))
 
 
 def test_budget_static_when_disabled_or_warmup():

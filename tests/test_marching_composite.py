@@ -647,3 +647,110 @@ def test_mark_invisible_preserves_trained_density():
     d2 = np.asarray(s2.density_grid[0])
     assert np.all(d2[visible] == 7.5)
     assert np.all(d2[~visible] == -1.0)
+
+
+def test_pooled_marching_matches_single_level_when_pool_fits():
+    """Shared-segment-pool marching (march_rays_train_pooled) must select
+    EXACTLY the single-level path's samples whenever the pool holds the
+    total segment demand — same exactness contract as the per-ray
+    two-level path, but capacity sized by the batch MEAN."""
+    from arnerf_tpu.ops.marching import (build_coarse_occupancy,
+                                         march_rays_train_pooled)
+    rng = np.random.default_rng(11)
+    G = 64
+    occ = (rng.random((1, G, G, G)) < 0.03).astype(np.uint8)
+    occ_flat = jnp.asarray(occ.reshape(-1))
+    coarse = build_coarse_occupancy(occ_flat, 1, G)
+
+    N = 32
+    rays_o = np.tile([0.0, 0.0, -1.2], (N, 1)).astype(np.float32)
+    tgt = rng.uniform(-0.4, 0.4, (N, 3)).astype(np.float32)
+    d = tgt - rays_o
+    rays_d = (d / np.linalg.norm(d, axis=1, keepdims=True)).astype(np.float32)
+    hits = np.asarray(ray_aabb_intersect_single(
+        jnp.asarray(rays_o), jnp.asarray(rays_d), jnp.zeros(3),
+        jnp.full(3, SCALE)))
+    noise = jnp.asarray(rng.random(N), jnp.float32)
+
+    kw = dict(scale=SCALE, cascades=1, exp_step_factor=0.0, grid_size=G,
+              max_samples=512,
+              n_candidates=num_lattice_steps(0.01, 0.01 + 2 * SQRT3 * SCALE,
+                                             0.0, 512, G, SCALE),
+              m_cap=4096, s_cap=256)
+    a = march_rays_train(jnp.asarray(rays_o), jnp.asarray(rays_d),
+                         jnp.asarray(hits), occ_flat, noise, **kw)
+    b = march_rays_train_pooled(jnp.asarray(rays_o), jnp.asarray(rays_d),
+                                jnp.asarray(hits), occ_flat, noise,
+                                occ_coarse=coarse, seg_pool_cap=4096, **kw)
+    assert int(b.total_nseg) <= 4096          # pool actually fits
+    np.testing.assert_array_equal(np.asarray(a.counts), np.asarray(b.counts))
+    np.testing.assert_allclose(np.asarray(a.ts), np.asarray(b.ts), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.deltas), np.asarray(b.deltas),
+                               atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+    assert int(a.rm_samples) == int(b.rm_samples)
+    assert int(a.max_nseg) == 0 and int(b.max_nseg) > 0
+
+
+def test_pooled_marching_strides_under_pool_pressure():
+    """With a pool smaller than total segment demand, each ray's occupied
+    segments are uniformly thinned (never truncated from one end): samples
+    remain a per-ray SUBSET of the exact set, per-ray allocation stays
+    roughly proportional to demand, and deltas carry the stride scale so
+    the quadrature still covers the ray."""
+    from arnerf_tpu.ops.marching import (build_coarse_occupancy,
+                                         march_rays_train_pooled)
+    rng = np.random.default_rng(5)
+    G = 64
+    occ = (rng.random((1, G, G, G)) < 0.15).astype(np.uint8)  # dense-ish
+    occ_flat = jnp.asarray(occ.reshape(-1))
+    coarse = build_coarse_occupancy(occ_flat, 1, G)
+
+    N = 16
+    rays_o = np.tile([0.0, 0.0, -1.2], (N, 1)).astype(np.float32)
+    tgt = rng.uniform(-0.4, 0.4, (N, 3)).astype(np.float32)
+    d = tgt - rays_o
+    rays_d = (d / np.linalg.norm(d, axis=1, keepdims=True)).astype(np.float32)
+    hits = np.asarray(ray_aabb_intersect_single(
+        jnp.asarray(rays_o), jnp.asarray(rays_d), jnp.zeros(3),
+        jnp.full(3, SCALE)))
+    noise = jnp.asarray(rng.random(N), jnp.float32)
+
+    kw = dict(scale=SCALE, cascades=1, exp_step_factor=0.0, grid_size=G,
+              max_samples=512,
+              n_candidates=num_lattice_steps(0.01, 0.01 + 2 * SQRT3 * SCALE,
+                                             0.0, 512, G, SCALE),
+              m_cap=8192, s_cap=512)
+    exact = march_rays_train(jnp.asarray(rays_o), jnp.asarray(rays_d),
+                             jnp.asarray(hits), occ_flat, noise, **kw)
+    Sp = 64                                    # ~4 slots/ray: heavy pressure
+    b = march_rays_train_pooled(jnp.asarray(rays_o), jnp.asarray(rays_d),
+                                jnp.asarray(hits), occ_flat, noise,
+                                occ_coarse=coarse, seg_pool_cap=Sp, **kw)
+    assert int(b.total_nseg) > Sp              # pressure is real
+    # every pooled sample is one of the exact path's samples for its ray
+    # (striding selects a subset; it never invents positions)
+    ets = np.asarray(exact.ts)
+    eri = np.asarray(exact.ray_idx)
+    evalid = np.asarray(exact.valid)
+    bts = np.asarray(b.ts)
+    bri = np.asarray(b.ray_idx)
+    bvalid = np.asarray(b.valid)
+    for r in range(N):
+        exact_set = ets[(eri == r) & evalid]
+        got = bts[(bri == r) & bvalid]
+        if got.size == 0:
+            continue
+        dmin = np.min(np.abs(got[:, None] - exact_set[None, :]), axis=1)
+        assert np.max(dmin) < 1e-5
+        # strided t's are strictly increasing along the ray
+        assert np.all(np.diff(got) > 0)
+    # deltas are scaled UP by the combined stride so quadrature coverage is
+    # preserved in aggregate (per-ray it is noisy at this extreme ~10x
+    # pressure: a ray's few strided coarse segments may hold no
+    # fine-occupied cell at all — the dilated superset property)
+    le = float(np.sum(np.asarray(exact.deltas)[evalid]))
+    lb = float(np.sum(np.asarray(b.deltas)[bvalid]))
+    assert 0.3 * le < lb < 3.0 * le
+    # most rays with demand still receive samples
+    assert (np.asarray(b.counts) > 0).sum() >= N // 2

@@ -42,8 +42,9 @@ def test_all_reference_flags_present_with_defaults():
     # field eval; 'auto' = bf16 on accelerator backends, fp32 on CPU)
     assert h["compute_dtype"] == "auto"
     assert h["stoch_corners"] == "auto"
-    # 30 reference flags + 2 TPU-side additions
-    assert len(h) == 32
+    assert h["seg_pool"] == "on"
+    # 30 reference flags + 3 TPU-side additions
+    assert len(h) == 33
 
 
 def test_flag_overrides_parse():

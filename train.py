@@ -82,6 +82,7 @@ def main():
         val_batch_size=hparams.val_batch_size,
         unit_exposure_rgb=float(getattr(train_ds, 'unit_exposure_rgb', 0.5)),
         erode=hparams.dataset_name == 'colmap',
+        seg_pool=hparams.seg_pool == 'on',
         loss=NeRFLossConfig(
             loss_set=hparams.loss_func, grid_scale=hparams.scale,
             lambda_depth=hparams.depth_loss_w,
