@@ -405,9 +405,12 @@ def march_rays_train_pooled(rays_o, rays_d, hits_t, occ_flat, noise, *,
     valid = s < alloc[r]
     j = jnp.floor(s.astype(jnp.float32) * stride[r]).astype(jnp.int32)
     j = jnp.minimum(j, jnp.maximum(demand[r] - 1, 0))
-    # (j+1)-th eligible fine sample within ray r's pool region
+    # (j+1)-th eligible fine sample within ray r's pool region. A ray's
+    # region can span up to K1*F slots (> K when K isn't a multiple of F),
+    # and the iteration bound must cover the longest row or the search can
+    # return unconverged indices.
     q = cg0[fine_base[r]] + j + 1
-    x = _lower_bound_var(cg, fine_base[r], fine_len[r], q, k_max=K)
+    x = _lower_bound_var(cg, fine_base[r], fine_len[r], q, k_max=K1 * F)
     flat_idx = fine_base[r] \
         + jnp.minimum(x, jnp.maximum(fine_len[r] - 1, 0))
     k_sel = ks_f.reshape(-1)[flat_idx]                         # global step

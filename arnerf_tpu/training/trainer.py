@@ -71,11 +71,19 @@ class TrainConfig:
     # shared cross-ray segment pool (march_rays_train_pooled): seg_cap
     # becomes the pool's MEAN slots/ray (total = batch*seg_cap) instead of
     # a per-ray pad, so one grazing ray no longer sizes the whole marching
-    # cost and _maybe_adapt_seg_cap tracks the batch-mean demand. At
-    # seg_cap=64 with 512 candidates the pool provably never strides
-    # (per-ray demand <= 64 segments), so enabling this is exact-or-better
-    # vs the per-ray path. Single-cascade scenes only (others fall back).
+    # cost and _maybe_adapt_seg_cap tracks the batch-mean demand. Overflow
+    # strides (never truncates), so at equal capacity the pool supervises
+    # at least the per-ray path's samples. Single-cascade scenes only
+    # (others fall back).
     seg_pool: bool = True
+    # exact-corner finish: stochastic single-corner gathers train ~3x
+    # faster but optimize the STOCHASTIC forward — validation/baking
+    # evaluate exact trilerp, and that mismatch plus gradient noise costs
+    # ~2 dB at equal steps late in training (quality-run A/B, DESIGN.md).
+    # After this fraction of total_steps the trainer flips to exact
+    # 8-corner gathers (one cached recompile): stoch speed where dB/step
+    # is steep, exact asymptote where it is flat. 1.0 disables.
+    stoch_anneal_frac: float = 0.8
     s_cap: int = MAX_SAMPLES
     max_samples: int = MAX_SAMPLES
     val_batch_size: int = 1 << 20        # reference opt.py:66-67
@@ -478,6 +486,23 @@ class NeRFTrainer:
             self._shrink_votes = 0
         return False
 
+    def _maybe_anneal_stoch(self) -> bool:
+        """Exact-corner finish (tc.stoch_anneal_frac): once past the
+        configured fraction of the schedule, flip cfg.stoch_corners off
+        and rebuild (params/opt/grid state are untouched — stochastic
+        corners are an eval-path estimator, not a parameterization).
+        Returns True on the one rebuild."""
+        if not self.cfg.stoch_corners or self.tc.stoch_anneal_frac >= 1.0:
+            return False
+        if self.step < self.tc.stoch_anneal_frac * self.tc.total_steps:
+            return False
+        from dataclasses import replace as _replace
+        self.cfg = _replace(self.cfg, stoch_corners=False)
+        self._build_steps()
+        print(f"stoch corners -> exact at step {self.step} "
+              f"(anneal_frac {self.tc.stoch_anneal_frac})", flush=True)
+        return True
+
     @property
     def _pool_mode(self) -> bool:
         """Shared-segment-pool marching active (tc.seg_pool wired through
@@ -508,11 +533,12 @@ class NeRFTrainer:
         cap = self.tc.seg_cap
         if self._pool_mode:
             fit = max(floor, int(-(-(nseg * 1.3) // 8)) * 8)
-            if nseg * 1.1 > cap and fit > cap:
-                self.tc = _replace(self.tc, seg_cap=min(fit, 64))
+            grow = min(fit, 64)
+            if nseg * 1.1 > cap and grow > cap:
+                self.tc = _replace(self.tc, seg_cap=grow)
                 self._build_steps()
                 self._segcap_votes = 0
-                print(f"seg pool {cap} -> {self.tc.seg_cap}/ray "
+                print(f"seg pool {cap} -> {grow}/ray "
                       f"(mean demand {nseg:.1f})", flush=True)
                 return True
             if fit <= cap - 8:
@@ -578,6 +604,7 @@ class NeRFTrainer:
                         self._maybe_adapt_budget(float(last["rm_s"]))
                     if "nseg" in last:
                         self._maybe_adapt_seg_cap(self.seg_metric(last))
+                    self._maybe_anneal_stoch()
                 else:
                     last = self.train_step()
             except Exception as e:  # TPU worker crash / infra failure

@@ -138,8 +138,10 @@ def main():
     wh = _arg("--wh", 256)
     steps = _arg("--steps", 160)
     hunt_floor = _arg("--hunt_floor", 50.0, float)   # GB/s (v5e peak ~819)
-    hunt_attempts = _arg("--hunt_attempts", 6)
-    hunt_sleep = _arg("--hunt_sleep", 45.0, float)
+    # the time-shared pool can sit starved for 10+ min; a starved-window
+    # record wastes the whole run, so hunt patiently (~12 min worst case)
+    hunt_attempts = _arg("--hunt_attempts", 12)
+    hunt_sleep = _arg("--hunt_sleep", 60.0, float)
     target_db = _arg("--target_db", 33.0, float)     # BASELINE gate quality
     race_cap_steps = _arg("--race_cap_steps", 2400)
 
@@ -207,6 +209,13 @@ def main():
                      num_epochs=max(1, race_cap_steps // 480),
                      steps_per_epoch=480, warmup_steps=256,
                      seg_pool=_arg("--seg_pool", "on", str) == "on",
+                     seg_cap=_arg("--seg_cap", 64),
+                     # the exact-corner finish (production default 0.8 of
+                     # the 30k schedule, i.e. step 24000) must not fire
+                     # inside this compressed race-cap proxy schedule —
+                     # the race and post-gate phases both sit well before
+                     # 0.8 x 30000 in production
+                     stoch_anneal_frac=1.0,
                      samples_per_ray_budget=_arg("--budget", 32),
                      loss=NeRFLossConfig(grid_scale=0.5,
                                          lambda_distortion=1e-3))

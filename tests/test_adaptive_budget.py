@@ -194,3 +194,39 @@ def test_budget_static_when_disabled_or_warmup():
     for _ in range(5):
         assert not tr2._maybe_adapt_budget(1.0)
     assert tr2.tc.samples_per_ray_budget == 32
+
+
+def test_stoch_anneal_flips_to_exact_corners():
+    """Exact-corner finish: past stoch_anneal_frac * total_steps the
+    trainer flips cfg.stoch_corners off once (cached rebuild), training
+    continues, and the flip never fires when disabled (frac=1.0)."""
+    from arnerf_tpu.models import NGPConfig
+    from arnerf_tpu.training import TrainConfig, NeRFTrainer
+    from arnerf_tpu.training.losses import NeRFLossConfig
+    from arnerf_tpu.datasets.synthetic import SyntheticDataset, SyntheticConfig
+    scfg = SyntheticConfig(img_wh=(32, 32), n_train=3, n_test=1,
+                           gt_samples=32)
+    ds = SyntheticDataset(split="train", config=scfg)
+    cfg = NGPConfig(scale=0.5, stoch_corners=True)
+    tc = TrainConfig(batch_size=256, warmup_steps=0, num_epochs=1,
+                     steps_per_epoch=10, samples_per_ray_budget=16,
+                     stoch_anneal_frac=0.5,
+                     loss=NeRFLossConfig(grid_scale=0.5))
+    tr = NeRFTrainer(cfg, tc, ds, key=jax.random.PRNGKey(0))
+    tr.on_train_start()
+    assert not tr._maybe_anneal_stoch()          # step 0 < 5
+    assert tr.cfg.stoch_corners
+    tr.step = 5
+    assert tr._maybe_anneal_stoch()              # flips exactly once
+    assert not tr.cfg.stoch_corners
+    assert not tr._maybe_anneal_stoch()
+    m = tr.train_step()                          # continues on exact path
+    assert np.isfinite(float(m["loss"]))
+    # disabled by frac=1.0
+    tr2 = NeRFTrainer(cfg, TrainConfig(
+        batch_size=256, warmup_steps=0, num_epochs=1, steps_per_epoch=10,
+        samples_per_ray_budget=16, stoch_anneal_frac=1.0,
+        loss=NeRFLossConfig(grid_scale=0.5)), ds, key=jax.random.PRNGKey(0))
+    tr2.step = 10
+    assert not tr2._maybe_anneal_stoch()
+    assert tr2.cfg.stoch_corners
