@@ -31,6 +31,11 @@ timeout 1800 python -u scripts/tpu_baked_anatomy.py 256 192 16 8 block noq \
     >> /tmp/r3_anatomy_noq.log 2>&1
 echo "EXIT=$?" >> /tmp/r3_anatomy_noq.log
 
+echo "=== baked anatomy A/B: color_window 4 ===" | tee /tmp/r3_anatomy_w4.log
+timeout 1800 python -u scripts/tpu_baked_anatomy.py 256 192 16 4 block \
+    >> /tmp/r3_anatomy_w4.log 2>&1
+echo "EXIT=$?" >> /tmp/r3_anatomy_w4.log
+
 echo "=== baked fps probe ===" | tee /tmp/r3_fps.log
 timeout 2400 python -u scripts/tpu_baked_fps.py >> /tmp/r3_fps.log 2>&1
 echo "EXIT=$?" >> /tmp/r3_fps.log
@@ -47,7 +52,7 @@ echo "EXIT=$?" >> /tmp/r3_quality.log
 # Preserve the measured evidence in-repo: the pool can wedge for many
 # hours, so a later session (or the judge) must not depend on /tmp.
 mkdir -p bench_runs
-for f in bench step anatomy anatomy_128 anatomy_noq fps quality; do
+for f in bench step anatomy anatomy_128 anatomy_noq anatomy_w4 fps quality; do
     [ -f "/tmp/r3_${f}.log" ] && cp "/tmp/r3_${f}.log" \
         "bench_runs/r3_chain_${f}.log"
 done
