@@ -209,7 +209,13 @@ def main():
                      num_epochs=max(1, race_cap_steps // 480),
                      steps_per_epoch=480, warmup_steps=256,
                      seg_pool=_arg("--seg_pool", "on", str) == "on",
-                     seg_cap=_arg("--seg_cap", 64),
+                     # race default 32 (not the 64 worst case): a CPU A/B
+                     # at equal steps measured val 33.48 dB (cap 32) vs
+                     # 32.67 (cap 64) vs 33.19 (cap 16) — early segment
+                     # striding costs no quality (bench_runs/
+                     # r3_segpool_quality_ab.log) and the tighter pool cuts
+                     # every marching cost during the race
+                     seg_cap=_arg("--seg_cap", 32),
                      # the exact-corner finish (production default 0.8 of
                      # the 30k schedule, i.e. step 24000) must not fire
                      # inside this compressed race-cap proxy schedule —
