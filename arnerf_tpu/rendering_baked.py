@@ -322,7 +322,7 @@ def sample_baked(rows, xyz, sh_d, B: int, scale: float,
     "max_rounds", "return_state", "compact", "color_window", "block4"))
 def render_baked_uniform(rows, aabb_lo, aabb_hi, rays_o, rays_d, key, *,
                          B: int, scale: float, interp: str = "stochastic",
-                         T_threshold: float = 1e-2, n_steps: int = 192,
+                         T_threshold: float = 1e-2, n_steps: int = 128,
                          samples_per_round: int = 32, init_state=None,
                          max_rounds: int = 0, return_state: bool = False,
                          mip=None, compact: bool = True, sigma=None,
@@ -367,7 +367,12 @@ def render_baked_uniform(rows, aabb_lo, aabb_hi, rays_o, rays_d, key, *,
       * Early ray termination exits saturated rays between rounds
         (composite_test_step), within a fixed shape.
 
-    dt spans the tight box diagonal in n_steps. State carry mirrors
+    dt spans the tight box diagonal in n_steps. The 128 default is
+    measured: on a converged checkpoint the baked frame loses only
+    0.15 dB vs 192 steps (0.35 dB at 96 — bench_runs/ evidence, CPU
+    quality sweep) while every fine sigma/color cost scales with the
+    step count; the reference's interactive spec is max_samples=100
+    (show_gui.py:86-88). State carry mirrors
     render_test_chunk: (t_cur, opacity, depth, rgb, alive, samples_done).
     The coarse prelude and compaction run only when init_state is None
     (fresh rays); state-carrying callers keep the flat loop.
@@ -736,7 +741,7 @@ def cull_and_buckets(baked: BakedField, rays_o, rays_d, chunk: int = 1 << 18,
 
 def render_baked(baked: BakedField, grid_state, rays_o, rays_d, cfg, *,
                  key=None, interp: str = "stochastic",
-                 T_threshold: float = 1e-2, n_steps: int = 192,
+                 T_threshold: float = 1e-2, n_steps: int = 128,
                  samples_per_round: int = 16, chunk: int = 1 << 18,
                  phase1_rounds: int = 0, max_samples=None, prehit=None,
                  dt_scale=None, exp_step_factor: float = 0.0,
@@ -798,7 +803,7 @@ def render_baked(baked: BakedField, grid_state, rays_o, rays_d, cfg, *,
 
 def baked_frame_device_fn(baked: BakedField, rays_o, rays_d, *,
                           interp: str = "stochastic",
-                          T_threshold: float = 1e-2, n_steps: int = 192,
+                          T_threshold: float = 1e-2, n_steps: int = 128,
                           samples_per_round: int = 16, chunk: int = 1 << 18,
                           color_window: int = 8, img_wh=None):
     """Zero-readback frame function for device-side FPS measurement.
