@@ -19,9 +19,18 @@ from .base import BaseDataset
 from .ray_utils import get_ray_directions, get_rays, look_at_pose
 
 
-def analytic_sigma(x, scale: float):
+def analytic_sigma(x, scale: float, object_only: bool = False):
     """Density: a solid sphere, a box, and a thin slab — sharp but smooth.
-    x: (..., 3) world coords. Returns (...,)."""
+    x: (..., 3) world coords. Returns (...,).
+
+    object_only drops the ground slab, leaving just the sphere + box
+    (~3% of the cube volume). The slab spans the whole cube, so every
+    800x800 ray survives AABB culling and the coarse-mip prelude — an
+    adversarial worst case for interactive-FPS comparison against the
+    reference's Lego headline (README.md:90), where the white background
+    kills most rays before any field fetch. The object-only variant gives
+    the renderer Lego-like ray statistics for an apples-to-apples FPS
+    measurement without changing the training scene."""
     s = scale
     # sphere r=0.36s at origin
     d_sph = jnp.linalg.norm(x - jnp.asarray([0.0, 0.1 * s, 0.0]), axis=-1) - 0.36 * s
@@ -29,9 +38,11 @@ def analytic_sigma(x, scale: float):
     q = jnp.abs(x - jnp.asarray([-0.45 * s, -0.3 * s, 0.3 * s])) - 0.18 * s
     d_box = jnp.linalg.norm(jnp.maximum(q, 0), axis=-1) + \
         jnp.minimum(jnp.max(q, axis=-1), 0.0)
-    # ground slab y in [0.55s, 0.62s]
-    d_slab = jnp.abs(x[..., 1] - 0.585 * s) - 0.035 * s
-    d = jnp.minimum(jnp.minimum(d_sph, d_box), d_slab)
+    d = jnp.minimum(d_sph, d_box)
+    if not object_only:
+        # ground slab y in [0.55s, 0.62s]
+        d_slab = jnp.abs(x[..., 1] - 0.585 * s) - 0.035 * s
+        d = jnp.minimum(d, d_slab)
     return 90.0 / scale * jax.nn.sigmoid(-d / (0.01 * s))
 
 
@@ -44,9 +55,10 @@ def analytic_rgb(x, scale: float):
     return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.05, 0.95)
 
 
-@partial(jax.jit, static_argnames=("scale", "n_samples", "white_bg"))
+@partial(jax.jit,
+         static_argnames=("scale", "n_samples", "white_bg", "object_only"))
 def render_analytic(rays_o, rays_d, scale: float, n_samples: int = 512,
-                    white_bg: bool = True):
+                    white_bg: bool = True, object_only: bool = False):
     """Dense uniform-sampling oracle renderer of the analytic field."""
     from ..ops.intersection import ray_aabb_intersect_single
     hits = ray_aabb_intersect_single(rays_o, rays_d, jnp.zeros(3),
@@ -58,7 +70,7 @@ def render_analytic(rays_o, rays_d, scale: float, n_samples: int = 512,
     k = jnp.arange(n_samples, dtype=jnp.float32)[None, :]
     ts = t1[:, None] + (k + 0.5) * dt[:, None]
     pos = rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :]
-    sig = analytic_sigma(pos, scale) * ok[:, None]
+    sig = analytic_sigma(pos, scale, object_only) * ok[:, None]
     col = analytic_rgb(pos, scale)
     sd = sig * dt[:, None]
     T = jnp.exp(-(jnp.cumsum(sd, axis=1) - sd))
@@ -69,6 +81,41 @@ def render_analytic(rays_o, rays_d, scale: float, n_samples: int = 512,
     if white_bg:
         rgb = rgb + (1.0 - opa[:, None])
     return rgb, opa, depth
+
+
+def bake_analytic_field(scale: float = 0.5, resolution: int = 256,
+                        object_only: bool = True, n_dirs: int = 16,
+                        sigma_thresh: float = 1e-2, **bake_kw):
+    """Bake the analytic field into a BakedField directly (no training).
+
+    bench.py uses this for the `render_fps_800_baked_object` extra: the
+    renderer's speed under Lego-like ray statistics (object occupies ~3%
+    of the cube; most rays die at the tight AABB or in the mip prelude),
+    measured with the exact production bake/render code but decoupled
+    from a training run. The occupancy mask keeps every voxel whose
+    analytic sigma clears `sigma_thresh` — the sigmoid edge is ~0.01*scale
+    wide, so the threshold reaches ~9 edge-widths out at sigma_max=180.
+    """
+    from ..rendering_baked import bake_field
+    B = resolution
+    ax = (jnp.arange(B, dtype=jnp.float32) + 0.5) / B * 2 * scale - scale
+    # z-fastest layout to match bake_field's row indexing
+    gx, gy, gz = jnp.meshgrid(ax, ax, ax, indexing="ij")
+    centers = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+    occ = []
+    chunk = 1 << 20
+    sig_fn = jax.jit(lambda c: analytic_sigma(c, scale, object_only)
+                     > sigma_thresh)
+    for i in range(0, centers.shape[0], chunk):
+        occ.append(np.asarray(sig_fn(centers[i:i + chunk])))
+    occ_mask = np.concatenate(occ)
+
+    def field_fn(xyz, dirs):
+        return (analytic_sigma(xyz, scale, object_only),
+                analytic_rgb(xyz, scale))
+
+    return bake_field(field_fn, scale, resolution=resolution,
+                      occ_mask=occ_mask, n_dirs=n_dirs, **bake_kw)
 
 
 @dataclass

@@ -500,6 +500,56 @@ def main():
         print(f"bench: baked render failed ({type(e).__name__})",
               file=sys.stderr, flush=True)
 
+    # object-only FPS: the bench scene's ground slab spans the whole cube,
+    # so ~100% of 800x800 rays survive culling and the mip prelude — an
+    # adversarial worst case vs the reference's Lego headline, where the
+    # white background kills most rays before any fetch (DESIGN.md "frame
+    # anatomy"). Bake the analytic object-only field (sphere+box, ~3%
+    # occupancy — Lego-like) with the production bake code and time the
+    # same device frame function; report PSNR vs the analytic oracle on a
+    # 256x256 crop so the number stays quality-anchored.
+    fps_baked_object = 0.0
+    obj_psnr = 0.0
+    try:
+        from arnerf_tpu.datasets.synthetic import (bake_analytic_field,
+                                                   render_analytic)
+        from arnerf_tpu.rendering_baked import (render_baked,
+                                                baked_frame_device_fn)
+        print("bench: baking analytic object field...", file=sys.stderr,
+              flush=True)
+        baked_obj = bake_analytic_field(scale=cfg.scale,
+                                        resolution=_arg("--bake_res", 256))
+        _sync(baked_obj.rows)
+        frame_o = baked_frame_device_fn(baked_obj, rays_o, rays_d,
+                                        T_threshold=1e-2, img_wh=(800, 800))
+        fkeys = list(jax.random.split(jax.random.PRNGKey(11), 9))
+        _sync(frame_o(fkeys[0]))                                 # warm
+        t0 = time.time()
+        acc = 0.0
+        for k in fkeys[1:]:
+            acc = acc + frame_o(k)
+        _sync(acc)
+        fps_baked_object = len(fkeys[1:]) / (time.time() - t0)
+        # quality anchor at 256x256 (full frame readback is a tunnel cost)
+        f256 = 0.5 * 256 / np.tan(0.5 * np.deg2rad(scfg.fov_deg))
+        K256 = np.array([[f256, 0, 128], [0, f256, 128], [0, 0, 1]],
+                        np.float32)
+        d256 = jnp.asarray(get_ray_directions(256, 256, K256))
+        ro256, rd256 = get_rays(d256, pose)
+        res_o = render_baked(baked_obj, trainer.grid_state, ro256, rd256,
+                             cfg, key=jax.random.PRNGKey(3),
+                             T_threshold=1e-2, img_wh=(256, 256))
+        rdn = rd256 / jnp.linalg.norm(rd256, axis=-1, keepdims=True)
+        gt_o, _, _ = render_analytic(ro256, rdn, cfg.scale,
+                                     n_samples=512, object_only=True)
+        mse = float(jnp.mean((jnp.clip(res_o["rgb"], 0, 1) - gt_o) ** 2))
+        obj_psnr = -10.0 * np.log10(max(mse, 1e-10))
+        print(f"bench: baked object {fps_baked_object:.2f} FPS device, "
+              f"{obj_psnr:.1f} dB vs oracle", file=sys.stderr, flush=True)
+    except Exception as e:
+        print(f"bench: baked object render failed ({type(e).__name__})",
+              file=sys.stderr, flush=True)
+
     result = {
         "metric": "train_steps_per_s_8192rays",
         "value": round(steady, 2),
@@ -520,6 +570,8 @@ def main():
             "render_fps_800": round(fps, 2),
             "render_fps_800_baked": round(fps_baked, 2),
             "render_fps_800_baked_device": round(fps_baked_device, 2),
+            "render_fps_800_baked_object": round(fps_baked_object, 2),
+            "baked_object_psnr": round(obj_psnr, 2),
             "bake_s": round(bake_s, 1),
             "val_psnr_after_bench_steps": round(val["psnr"], 2),
             "train_psnr": round(float(m.get("psnr", 0.0)), 2),

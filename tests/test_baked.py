@@ -483,3 +483,37 @@ def test_block4_bucketing_matches_flat():
     assert blocked and N == W * H
     sl = np.concatenate([b[0] for b in buckets])
     assert len(sl) % 4 == 0 and len(np.unique(sl)) == len(sl)
+
+
+def test_bake_analytic_object_field_matches_oracle():
+    """bench.py's object-only FPS path: bake_analytic_field (no training)
+    through the production bake code must render the object-only scene at
+    oracle quality, and its occupancy must be Lego-like sparse (the whole
+    point of the metric — most rays die before any fetch)."""
+    from arnerf_tpu.datasets.synthetic import bake_analytic_field
+    B = 64
+    baked = bake_analytic_field(scale=SCALE, resolution=B, object_only=True,
+                                dtype=jnp.float32)
+    occ_frac = float(np.mean(np.asarray(baked.sigma) > 0))
+    assert occ_frac < 0.10, f"object occupancy {occ_frac:.3f} not sparse"
+    # tight AABB must hug the objects, not the cube
+    lo, hi = np.asarray(baked.aabb_lo), np.asarray(baked.aabb_hi)
+    assert np.all(hi - lo < 2 * SCALE * 0.95)
+
+    cfg = NGPConfig(scale=SCALE)
+    gs = make_grid_state(cfg)
+    W = H = 96
+    f = 0.5 * W / np.tan(0.5 * np.deg2rad(45.0))
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
+    dirs = jnp.asarray(get_ray_directions(H, W, K))
+    pose = look_at_pose(np.array([0.9, 0.25, 0.75]))
+    ro, rd = get_rays(dirs, jnp.asarray(pose))
+    rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    gt, _, _ = render_analytic(ro, rd, SCALE, n_samples=512,
+                               object_only=True)
+    out = render_baked(baked, gs, ro, rd, cfg, interp="trilinear",
+                       T_threshold=1e-4, chunk=1 << 13)
+    pred = np.asarray(out["rgb"]) + (1 - np.asarray(out["opacity"]))[:, None]
+    mse = float(np.mean((pred - np.asarray(gt)) ** 2))
+    psnr = -10 * np.log10(mse)
+    assert psnr > 24.0, f"object-only baked vs oracle PSNR {psnr:.2f}"
