@@ -79,7 +79,10 @@ def main():
                 "metric": "train_steps_per_s_8192rays", "value": 0.0,
                 "unit": "steps/s", "vs_baseline": 0.0,
                 "extra": {"error": "TPU backend unavailable (pool wedged); "
-                                   "no measurement possible this run"}}),
+                                   "no measurement possible this run",
+                          "in_round_measurements":
+                              "bench_runs/*.log (same bench.py on the real "
+                              "chip in-round; see bench_runs/README.md)"}}),
                 flush=True)
             return
 

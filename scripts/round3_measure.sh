@@ -4,6 +4,12 @@
 # Stage order puts the headline bench FIRST (the window may not last).
 cd /root/repo
 
+# Two pollers (liveness poll_loop + healthy-window watchdog) can both decide
+# to launch the chain; concurrent chains would contend for the single chip.
+# flock makes the second launcher a no-op while one chain is running.
+exec 9>/tmp/r3_chain.lock
+flock -n 9 || { echo "chain already running; skipping"; exit 0; }
+
 echo "=== bench (headline: pooled marching + shrink-to-fit budgets) ===" \
     | tee /tmp/r3_bench.log
 timeout 4500 python -u bench.py >> /tmp/r3_bench.log 2>&1
