@@ -40,6 +40,12 @@ def get_opts(args=None):
     parser.add_argument('--num_epochs', type=int, default=30)
     parser.add_argument('--num_gpus', type=int, default=1,
                         help='number of devices (TPU chips here)')
+    # extra flag (no reference analogue): shard the hash table + Adam state
+    # over a model axis of this size (parallel/tp.py); num_gpus must be a
+    # multiple. 1 = pure data parallelism (the reference's DDP semantics).
+    parser.add_argument('--model_parallel', type=int, default=1,
+                        help='model-axis size for sharded hash-table '
+                             'training (num_gpus % model_parallel == 0)')
     parser.add_argument('--lr', type=float, default=1e-2)
     parser.add_argument('--optimize_ext', action='store_true', default=False)
     parser.add_argument('--random_bg', action='store_true', default=False)

@@ -155,13 +155,18 @@ def sample_rays(images, poses, directions, key, tc: TrainConfig,
 def train_step_impl(params, opt_state, grid_state, images, poses, directions,
                     key, step, *, cfg: NGPConfig, tc: TrainConfig, tx,
                     exp_step_factor: float, axis_name: Optional[str] = None,
-                    seg_cap: int = 64):
+                    seg_cap: int = 64, tp=None):
     """Pure training step; when axis_name is set, gradients/metrics are
-    psum-joined across the device mesh (the DDP all-reduce equivalent)."""
+    psum-joined across the device mesh (the DDP all-reduce equivalent).
+    When `tp` (a parallel.tp.TableSharding) is set, params arrive with the
+    hash table row-sharded over the mesh's model axis: the loss all_gathers
+    it for the forward and the gradient join respects the sharding."""
     k_sample, k_render = jax.random.split(key)
     m_cap = tc.batch_size * tc.samples_per_ray_budget
 
     def loss_fn(p):
+        if tp is not None:
+            p = tp.expand(p)   # table shard -> full table (grad: psum_scatter)
         # ray generation must live inside the loss so --optimize_ext pose
         # deltas receive gradients through rays_o/rays_d
         pose_deltas = p.get("pose_deltas") if tc.optimize_ext else None
@@ -193,7 +198,9 @@ def train_step_impl(params, opt_state, grid_state, images, poses, directions,
 
     (loss, (results, rgb_gt)), grads = \
         jax.value_and_grad(loss_fn, has_aux=True)(params)
-    if axis_name is not None:
+    if tp is not None:
+        grads = tp.join_grads(grads)
+    elif axis_name is not None:
         grads = jax.lax.pmean(grads, axis_name)
     updates, opt_state = tx.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
@@ -220,14 +227,15 @@ def train_step_impl(params, opt_state, grid_state, images, poses, directions,
 def scan_steps_impl(params, opt_state, grid_state, images, poses,
                     directions, keys, *, cfg: NGPConfig, tc: TrainConfig,
                     tx, exp_step_factor: float,
-                    axis_name: Optional[str] = None, seg_cap: int = 64):
+                    axis_name: Optional[str] = None, seg_cap: int = 64,
+                    tp=None):
     """`len(keys)` training steps as one compiled scan (no grid update)."""
     def body(carry, k):
         p, o = carry
         p, o, metrics = train_step_impl(
             p, o, grid_state, images, poses, directions, k, 0,
             cfg=cfg, tc=tc, tx=tx, exp_step_factor=exp_step_factor,
-            axis_name=axis_name, seg_cap=seg_cap)
+            axis_name=axis_name, seg_cap=seg_cap, tp=tp)
         return (p, o), metrics
 
     (params, opt_state), ms = jax.lax.scan(body, (params, opt_state), keys)
@@ -240,7 +248,8 @@ def scan_steps_impl(params, opt_state, grid_state, images, poses,
 def train_block_impl(params, opt_state, grid_state, images, poses,
                      directions, key, *, cfg: NGPConfig, tc: TrainConfig,
                      tx, exp_step_factor: float, warmup: bool,
-                     axis_name: Optional[str] = None, grid_key=None):
+                     axis_name: Optional[str] = None, grid_key=None,
+                     tp=None):
     """One fused block = density-grid update + `update_interval` training
     steps as a single compiled program (lax.scan over steps).
 
@@ -255,6 +264,10 @@ def train_block_impl(params, opt_state, grid_state, images, poses,
         k_grid = grid_key
     thr = 0.01 * MAX_SAMPLES / (3 ** 0.5)
     model_params = {k: v for k, v in params.items() if k != "pose_deltas"}
+    if tp is not None:
+        # replicated grid update needs the full table (identical on all
+        # devices: the key is replicated and all_gather is deterministic)
+        model_params = tp.expand(model_params)
     grid_state = update_density_grid(
         model_params, grid_state, k_grid, cfg, density_threshold=thr,
         warmup=warmup, decay=tc.density_decay, erode=tc.erode)
@@ -264,7 +277,8 @@ def train_block_impl(params, opt_state, grid_state, images, poses,
         p, o, metrics = train_step_impl(
             p, o, grid_state, images, poses, directions, k, 0,
             cfg=cfg, tc=tc, tx=tx, exp_step_factor=exp_step_factor,
-            axis_name=axis_name, seg_cap=0 if warmup else tc.seg_cap)
+            axis_name=axis_name, seg_cap=0 if warmup else tc.seg_cap,
+            tp=tp)
         return (p, o), metrics
 
     keys = jax.random.split(k_steps, tc.update_interval)
@@ -296,6 +310,16 @@ class NeRFTrainer:
             n = len(dataset.poses)
             self.params["pose_deltas"] = {
                 "dR": jnp.zeros((n, 3)), "dT": jnp.zeros((n, 3))}
+        # 2-D (data, model) mesh => hash table row-sharded over the model
+        # axis (parallel/tp.py): align its row count to the axis size. The
+        # padding rows sit past every level offset (never gathered; zero
+        # grads) and are stripped again on checkpoint save.
+        self._n_mp = (mesh.shape[mesh.axis_names[1]]
+                      if mesh is not None and len(mesh.axis_names) == 2
+                      else 1)
+        if self._n_mp > 1:
+            from ..parallel.tp import pad_table
+            self.params = pad_table(self.params, self._n_mp)
         self.tx, self.lr_sched = make_optimizer(tc)
         self.opt_state = self.tx.init(self.params)
         self.grid_state = grid_state_init(cfg)
@@ -338,6 +362,15 @@ class NeRFTrainer:
             self._scan_steps = jax.jit(
                 partial(scan_steps_impl, axis_name=None, **kw),
                 static_argnames=("seg_cap",), donate_argnums=(0, 1))
+        elif self._n_mp > 1:
+            from ..parallel.tp import (make_tp_train_step,
+                                       make_tp_train_block)
+            te = self.cfg.hash_cfg.total_entries
+            self._step = make_tp_train_step(
+                self.mesh, step_impl, kw, self.params, self.opt_state, te)
+            self._block = make_tp_train_block(
+                self.mesh, train_block_impl, kw, self.params, self.opt_state,
+                te)
         else:
             from ..parallel.dp import make_dp_train_step, make_dp_train_block
             self._step = make_dp_train_step(self.mesh, step_impl, kw)
@@ -681,13 +714,49 @@ class NeRFTrainer:
     def save(self, path):
         save = (ckpt_lib.save_ckpt_orbax if str(path).endswith(".orbax")
                 else ckpt_lib.save_ckpt)
-        save(path, params=self.params, grid_state=self.grid_state,
-             opt_state=self.opt_state, step=self.step)
+        params, opt_state = self.params, self.opt_state
+        if self._n_mp > 1:
+            # strip the model-axis alignment padding (params AND Adam
+            # mu/nu): checkpoints are interchangeable between sharded and
+            # unsharded runs
+            from ..parallel.tp import unpad_tree
+            hc = self.cfg.hash_cfg
+            params, opt_state = unpad_tree(
+                (params, opt_state), hc.total_entries, hc.n_features,
+                self._n_mp)
+        save(path, params=params, grid_state=self.grid_state,
+             opt_state=opt_state, step=self.step)
+
+    def load_weights(self, path):
+        """Params-only load (reference --weight_path, train.py:139)."""
+        p_tmpl = self.params
+        if self._n_mp > 1:
+            from ..parallel.tp import pad_tree, unpad_tree
+            hc = self.cfg.hash_cfg
+            p_tmpl = unpad_tree(p_tmpl, hc.total_entries, hc.n_features,
+                                self._n_mp)
+        params, _, _, _ = ckpt_lib.load_ckpt(path, params_template=p_tmpl)
+        if self._n_mp > 1:
+            params = pad_tree(params, hc.total_entries, hc.n_features,
+                              self._n_mp)
+        self.params = params
 
     def load(self, path):
         load = (ckpt_lib.load_ckpt_orbax if str(path).endswith(".orbax")
                 else ckpt_lib.load_ckpt)
-        self.params, self.grid_state, self.opt_state, self.step = \
-            load(path, params_template=self.params,
+        p_tmpl, o_tmpl = self.params, self.opt_state
+        if self._n_mp > 1:
+            from ..parallel.tp import pad_tree, unpad_tree
+            hc = self.cfg.hash_cfg
+            p_tmpl, o_tmpl = unpad_tree(
+                (p_tmpl, o_tmpl), hc.total_entries, hc.n_features,
+                self._n_mp)
+        params, self.grid_state, opt_state, self.step = \
+            load(path, params_template=p_tmpl,
                  grid_template=self.grid_state,
-                 opt_state_template=self.opt_state)
+                 opt_state_template=o_tmpl)
+        if self._n_mp > 1:
+            params, opt_state = pad_tree(
+                (params, opt_state), hc.total_entries, hc.n_features,
+                self._n_mp)
+        self.params, self.opt_state = params, opt_state

@@ -88,7 +88,15 @@ def main():
             lambda_depth=hparams.depth_loss_w,
             lambda_distortion=hparams.distortion_loss_w))
 
-    mesh = make_mesh(hparams.num_gpus) if hparams.num_gpus > 1 else None
+    if hparams.model_parallel > 1:
+        if hparams.num_gpus % hparams.model_parallel:
+            raise ValueError('--num_gpus must be a multiple of '
+                             '--model_parallel')
+        from arnerf_tpu.parallel import make_mesh_2d
+        mesh = make_mesh_2d(hparams.num_gpus // hparams.model_parallel,
+                            hparams.model_parallel)
+    else:
+        mesh = make_mesh(hparams.num_gpus) if hparams.num_gpus > 1 else None
     trainer = NeRFTrainer(cfg, tc, train_ds, test_ds,
                           key=jax.random.PRNGKey(0), mesh=mesh)
 
@@ -96,9 +104,7 @@ def main():
     if hparams.ckpt_path:
         trainer.load(hparams.ckpt_path)
     elif hparams.weight_path:
-        from arnerf_tpu.training.ckpt import load_ckpt
-        trainer.params, _, _, _ = load_ckpt(
-            hparams.weight_path, params_template=trainer.params)
+        trainer.load_weights(hparams.weight_path)
 
     if not hparams.val_only:
         from arnerf_tpu.utils.profiling import MetricsLogger
