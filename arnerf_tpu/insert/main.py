@@ -123,6 +123,20 @@ class NGPInsertor:
         os.makedirs(os.path.join(self.gen_path, 'results'), exist_ok=True)
         self.dt = 0.0
 
+        # Baked-field probe acceleration (ARNERF_INSERT_BAKED=1): probe
+        # generation is the serving hot loop — every object move renders
+        # 1-6k probe rays through the network path (SURVEY §3.4; reference
+        # main.py:306-407 does the same through its CUDA renderer). The
+        # baked SH grid (rendering_baked.py) answers a probe ray with ~1
+        # narrow gather per sample instead of 128, after a one-time bake.
+        # Same gates as the other baked paths (ADVICE r2): single cascade
+        # and LDR Sigmoid output (HDR probes need output_radiance through
+        # the tonemapper-free path — network fallback).
+        self._baked = None
+        self.use_baked_probes = (
+            os.environ.get('ARNERF_INSERT_BAKED', '') == '1'
+            and self.cfg.cascades == 1 and self.cfg.rgb_act == 'Sigmoid')
+
     def _load_or_init_brdf(self, path, input_ch, output_ch):
         params = mlp_skip_init(jax.random.PRNGKey(42), input_ch, output_ch,
                                D=2, W=128)
@@ -175,6 +189,50 @@ class NGPInsertor:
         return (np.asarray(rgb).reshape(self.H, self.W, 3),
                 np.asarray(depth).reshape(self.H, self.W),
                 rays_o, rays_d)
+
+    def _get_baked(self):
+        if self._baked is None:
+            from ..rendering_baked import bake_ngp
+            res = int(os.environ.get('ARNERF_INSERT_BAKE_RES', '192'))
+            t = time.time()
+            self._baked = bake_ngp(self.params, self.grid_state, self.cfg,
+                                   resolution=res, n_dirs=16)
+            print(f'insert: baked {res}^3 probe field in '
+                  f'{time.time() - t:.1f}s')
+        return self._baked
+
+    def _probe_render(self, rays_o, ray_dirs, *, sh_bkg=None,
+                      blend_bkg=True, output_radiance=False,
+                      need_opacity=False):
+        """Probe-ray render, routed to the baked field when enabled.
+
+        Background blend matches render_test exactly:
+        rgb + bkg(dir) * (1 - opacity) with the SH background clamped
+        positive (reference rendering.py:240-250)."""
+        if self.use_baked_probes and not output_radiance:
+            from ..rendering_baked import render_baked
+            from .sh_math import get_sh_val
+            baked = self._get_baked()
+            self.key, k = jax.random.split(self.key)
+            t = time.time()
+            out = render_baked(baked, self.grid_state, rays_o, ray_dirs,
+                               self.cfg, key=k, T_threshold=1e-2)
+            rgb = out['rgb']
+            if blend_bkg and sh_bkg is not None:
+                rgb_bg = get_sh_val(sh_bkg, ray_dirs, clamp_positive=True)
+                rgb = rgb + rgb_bg * (1.0 - out['opacity'][:, None])
+            self.dt = time.time() - t
+            return ({'rgb': rgb, 'opacity': out['opacity'],
+                     'depth': out['depth']} if need_opacity else
+                    (rgb, out['depth']))
+        kwargs = {'blend_bkg': blend_bkg}
+        if sh_bkg is not None:
+            kwargs['SH_bkg'] = sh_bkg
+        if output_radiance:
+            kwargs['output_radiance'] = True
+        if need_opacity:
+            kwargs['return_full_res'] = True
+        return self.render(rays_o, ray_dirs, **kwargs)
 
     # -- offline prep ------------------------------------------------------
 
@@ -289,10 +347,9 @@ class NGPInsertor:
                 self.sh_ray_dirs = get_cubemap_rays(1, 32)
         ray_dirs = self.sh_ray_dirs.reshape(-1, 3)
         rays_o = jnp.broadcast_to(jnp.asarray(pt)[None], ray_dirs.shape)
-        kwargs = {'SH_bkg': self.global_sh[0]}
-        if self.hparams.use_EXR:
-            kwargs['output_radiance'] = True
-        rgb, _ = self.render(rays_o, ray_dirs, **kwargs)
+        rgb, _ = self._probe_render(
+            rays_o, ray_dirs, sh_bkg=self.global_sh[0],
+            output_radiance=self.hparams.use_EXR)
         if self.hparams.gen_probe_HDR_mapping:
             rgb = jnp.power(rgb / (1 + rgb), 1.0 / 2.2)
         self.cubemap_rgb = rgb
@@ -312,11 +369,10 @@ class NGPInsertor:
         ray_dirs = get_sphere_rays(k, n, 2048)
         rays_o = jnp.broadcast_to(jnp.asarray(pts)[:, None, :],
                                   ray_dirs.shape)
-        kwargs = {'SH_bkg': self.global_sh[0]}
-        if self.hparams.use_EXR:
-            kwargs['output_radiance'] = True
-        rgb, _ = self.render(rays_o.reshape(-1, 3), ray_dirs.reshape(-1, 3),
-                             **kwargs)
+        rgb, _ = self._probe_render(
+            rays_o.reshape(-1, 3), ray_dirs.reshape(-1, 3),
+            sh_bkg=self.global_sh[0],
+            output_radiance=self.hparams.use_EXR)
         if self.hparams.gen_probe_HDR_mapping:
             rgb = jnp.power(rgb / (1 + rgb), 1.0 / 2.2)
         rgb = rgb.reshape(n, -1, 3)
@@ -332,11 +388,10 @@ class NGPInsertor:
         ray_dirs = get_sphere_rays(k, n, 2048)
         rays_o = jnp.broadcast_to(jnp.asarray(pts)[:, None, :],
                                   ray_dirs.shape)
-        kwargs = {'return_full_res': True, 'blend_bkg': False}
-        if self.hparams.use_EXR:
-            kwargs['output_radiance'] = True
-        res = self.render(rays_o.reshape(-1, 3), ray_dirs.reshape(-1, 3),
-                          **kwargs)
+        res = self._probe_render(
+            rays_o.reshape(-1, 3), ray_dirs.reshape(-1, 3),
+            blend_bkg=False, need_opacity=True,
+            output_radiance=self.hparams.use_EXR)
         rgb = res['rgb'].reshape(n, -1, 3)
         trans = 1.0 - res['opacity'].reshape(n, -1, 1)
         return (get_sh_coeff(ray_dirs, rgb),

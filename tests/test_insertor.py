@@ -88,6 +88,36 @@ def test_generate_probe_sh_and_sg(insertor):
     assert sg.shape[-1] == 7
 
 
+def test_generate_probe_baked_matches_network(insertor):
+    """ARNERF_INSERT_BAKED routes probe rays through the baked SH grid
+    (the serving hot loop: 1-6k network renders per object move otherwise).
+    The baked probe must agree with the network probe — same field, two
+    quadratures (32^3 stochastic voxel bake vs 96-sample marching)."""
+    pt = jnp.asarray([0.0, 0.0, 0.0])
+    sh_net = np.asarray(insertor.generate_probe(pt, sh_probe=True))
+    os.environ["ARNERF_INSERT_BAKE_RES"] = "32"
+    insertor.use_baked_probes = True
+    try:
+        sh_baked = np.asarray(insertor.generate_probe(pt, sh_probe=True))
+        # precompute probes (rgb + transmittance SH, no background) too
+        pts = jnp.asarray([[0.0, 0.0, 0.0], [0.1, 0.0, 0.0]])
+        rgb_sh, opc_sh = insertor.generate_sh_probes_for_precompute(pts)
+    finally:
+        insertor.use_baked_probes = False
+        insertor._baked = None
+        del os.environ["ARNERF_INSERT_BAKE_RES"]
+    assert sh_baked.shape == sh_net.shape
+    assert np.isfinite(sh_baked).all()
+    # DC term = mean radiance over the sphere: the two quadratures must
+    # agree on it (the fixture field is near-homogeneous, so the dominant
+    # error is the coarse 32^3 bake discretization)
+    assert np.allclose(sh_baked[0, 0], sh_net[0, 0], atol=0.25), \
+        (sh_baked[0, 0], sh_net[0, 0])
+    assert rgb_sh.shape == (2, 9, 3)
+    dc = np.asarray(opc_sh[:, 0, 0]) / np.sqrt(4 * np.pi)
+    assert np.all(dc > -0.2) and np.all(dc < 1.2)
+
+
 def test_generate_sh_probes_for_precompute(insertor):
     pts = jnp.asarray(np.random.default_rng(0).uniform(-0.2, 0.2, (4, 3)),
                       jnp.float32)
