@@ -133,7 +133,7 @@ class NGPInsertor:
         # and LDR Sigmoid output (HDR probes need output_radiance through
         # the tonemapper-free path — network fallback).
         self._baked = None
-        self.use_baked_probes = (
+        self.use_baked = (
             os.environ.get('ARNERF_INSERT_BAKED', '') == '1'
             and self.cfg.cascades == 1 and self.cfg.rgb_act == 'Sigmoid')
 
@@ -209,7 +209,7 @@ class NGPInsertor:
         Background blend matches render_test exactly:
         rgb + bkg(dir) * (1 - opacity) with the SH background clamped
         positive (reference rendering.py:240-250)."""
-        if self.use_baked_probes and not output_radiance:
+        if self.use_baked and not output_radiance:
             from ..rendering_baked import render_baked
             from .sh_math import get_sh_val
             baked = self._get_baked()
@@ -233,6 +233,22 @@ class NGPInsertor:
         if need_opacity:
             kwargs['return_full_res'] = True
         return self.render(rays_o, ray_dirs, **kwargs)
+
+    def _render_scene_baked(self, rays_o, rays_d, im_bkg, mesh_depth_map):
+        """Dirty-rect scene recomposite on the baked field: far bound
+        clamped at the inserted mesh's depth, object pixels blended as the
+        background (render_test's im_bkg semantics,
+        reference rendering.py:38-44 + :240-250)."""
+        from ..rendering_baked import render_baked
+        baked = self._get_baked()
+        self.key, k = jax.random.split(self.key)
+        t = time.time()
+        out = render_baked(baked, self.grid_state, rays_o, rays_d, self.cfg,
+                           key=k, T_threshold=1e-2,
+                           mesh_depth_map=mesh_depth_map)
+        rgb = out['rgb'] + im_bkg * (1.0 - out['opacity'][:, None])
+        self.dt = time.time() - t
+        return rgb, out['depth']
 
     # -- offline prep ------------------------------------------------------
 
@@ -548,12 +564,19 @@ class NGPInsertor:
         height, width = hl - hs, wl - ws
         rays_o, rays_d = get_rays(
             self.directions[hs:hl, ws:wl].reshape(-1, 3), jnp.asarray(pose))
-        kwargs_r = {
-            'IM_bkg': render_res[hs:hl, ws:wl].reshape(-1, 3),
-            'mesh_depth_map': depth_t[hs:hl, ws:wl].reshape(-1)}
-        if self.hparams.use_EXR:
-            kwargs_r['output_radiance'] = True
-        rgb, depth_sur = self.render(rays_o, rays_d, **kwargs_r)
+        im_bkg = render_res[hs:hl, ws:wl].reshape(-1, 3)
+        mesh_depth = depth_t[hs:hl, ws:wl].reshape(-1)
+        if self.use_baked and not self.hparams.use_EXR:
+            # per-frame serving render on the baked field (same gates as
+            # probe acceleration; the network path below stays the
+            # reference-exact fallback)
+            rgb, depth_sur = self._render_scene_baked(rays_o, rays_d,
+                                                      im_bkg, mesh_depth)
+        else:
+            kwargs_r = {'IM_bkg': im_bkg, 'mesh_depth_map': mesh_depth}
+            if self.hparams.use_EXR:
+                kwargs_r['output_radiance'] = True
+            rgb, depth_sur = self.render(rays_o, rays_d, **kwargs_r)
         rgb = rgb.reshape(height, width, 3)
         depth_sur = depth_sur.reshape(height, width, 1)
         if self.last_rgb is not None:

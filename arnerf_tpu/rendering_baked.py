@@ -327,7 +327,7 @@ def render_baked_uniform(rows, aabb_lo, aabb_hi, rays_o, rays_d, key, *,
                          max_rounds: int = 0, return_state: bool = False,
                          mip=None, compact: bool = True, sigma=None,
                          color_window: int = 8, block4: bool = False,
-                         row_index=None, rows_q=None):
+                         row_index=None, rows_q=None, t_far=None):
     """Uniform-stepping baked render chunk: one compiled program per bucket,
     no host round-trips.
 
@@ -410,6 +410,14 @@ def render_baked_uniform(rows, aabb_lo, aabb_hi, rays_o, rays_d, key, *,
                                      (aabb_hi - aabb_lo) / 2)
     t1 = jnp.maximum(hits[:, 0], 0.0)
     t2 = hits[:, 1]
+    if t_far is not None:
+        # per-ray far clamp in the CALLER's ray parameterization (the AR
+        # dirty-rect recomposite clamps the scene march at the inserted
+        # mesh's depth — reference rendering.py:38-44; scene_hits has the
+        # same semantics on the network path). 0 = no mesh at this pixel.
+        tf = t_far * dn[:, 0]                          # -> world distance
+        t2 = jnp.where(t_far >= 1e-6,
+                       jnp.maximum(jnp.minimum(t2, tf), t1), t2)
     dt = jnp.linalg.norm(aabb_hi - aabb_lo) / n_steps
     S = samples_per_round
     seed = jax.random.bits(key, dtype=jnp.uint32)
@@ -745,7 +753,8 @@ def render_baked(baked: BakedField, grid_state, rays_o, rays_d, cfg, *,
                  samples_per_round: int = 16, chunk: int = 1 << 18,
                  phase1_rounds: int = 0, max_samples=None, prehit=None,
                  dt_scale=None, exp_step_factor: float = 0.0,
-                 stats: dict = None, color_window: int = 8, img_wh=None):
+                 stats: dict = None, color_window: int = 8, img_wh=None,
+                 mesh_depth_map=None):
     """Full-frame baked render.
 
     Host-side work is pure math + one output readback: rays are culled
@@ -783,14 +792,21 @@ def render_baked(baked: BakedField, grid_state, rays_o, rays_d, cfg, *,
     # one split for all buckets (per-bucket eager splits are a ~27 ms
     # device dispatch each through the tunnel)
     keys = jax.random.split(key, max(1, len(buckets)))
+    mdm_np = (np.asarray(mesh_depth_map, np.float32)
+              if mesh_depth_map is not None else None)
     for (sl, ro, rd, n), k in zip(buckets, keys):
+        t_far = None
+        if mdm_np is not None:
+            # pad value 0 = no clamp; pad rays die on the AABB cull anyway
+            t_far = jnp.asarray(np.concatenate(
+                [mdm_np[sl], np.zeros(ro.shape[0] - n, np.float32)]))
         res = render_baked_uniform(
             baked.rows, baked.aabb_lo, baked.aabb_hi, ro, rd, k,
             B=baked.resolution, scale=baked.scale, interp=interp,
             T_threshold=T_threshold, n_steps=n_steps,
             samples_per_round=samples_per_round, mip=baked.mip,
             sigma=baked.sigma, color_window=color_window, block4=blocked,
-            row_index=baked.row_index, rows_q=baked.rows_q)
+            row_index=baked.row_index, rows_q=baked.rows_q, t_far=t_far)
         opacity[sl] = np.asarray(res["opacity"])[:n]
         depth[sl] = np.asarray(res["depth"])[:n]
         rgb[sl] = np.asarray(res["rgb"])[:n]

@@ -96,14 +96,35 @@ def test_generate_probe_baked_matches_network(insertor):
     pt = jnp.asarray([0.0, 0.0, 0.0])
     sh_net = np.asarray(insertor.generate_probe(pt, sh_probe=True))
     os.environ["ARNERF_INSERT_BAKE_RES"] = "32"
-    insertor.use_baked_probes = True
+    insertor.use_baked = True
     try:
         sh_baked = np.asarray(insertor.generate_probe(pt, sh_probe=True))
         # precompute probes (rgb + transmittance SH, no background) too
         pts = jnp.asarray([[0.0, 0.0, 0.0], [0.1, 0.0, 0.0]])
         rgb_sh, opc_sh = insertor.generate_sh_probes_for_precompute(pts)
+        # dirty-rect serving frame on the baked path (mesh-depth far clamp
+        # + im_bkg blend)
+        H = W = 8
+        bbox = [[4, 4], [4 + H, 4 + W]]
+        rng = np.random.default_rng(1)
+        normals = jnp.asarray(rng.normal(size=(H, W, 3)), jnp.float32)
+        normals = normals / jnp.linalg.norm(normals, axis=-1, keepdims=True)
+        pose = jnp.asarray(insertor.dataset.poses[0])
+        insertor.last_rgb = insertor.last_depth = None
+        out = insertor.render_insert_object(
+            normals, jnp.full((H, W), 1e-4, jnp.float32), pose, sh_baked,
+            full_return=False, use_sg_base=False, sg_use_self_shadow=False,
+            model_bbox=bbox, model_bbox_last=None)
+        assert out.shape == (insertor.H, insertor.W, 3)
+        assert np.isfinite(out).all()
+        # a mesh depth this close to the camera clamps the scene march to
+        # an empty window: the composite must return the object render
+        # (im_bkg) exactly inside the bbox
+        lr = np.asarray(insertor.last_depth)[4:4 + H, 4:4 + W, 0]
+        assert np.allclose(lr, 0.0, atol=1e-5), lr.max()
+        insertor.last_rgb = insertor.last_depth = None
     finally:
-        insertor.use_baked_probes = False
+        insertor.use_baked = False
         insertor._baked = None
         del os.environ["ARNERF_INSERT_BAKE_RES"]
     assert sh_baked.shape == sh_net.shape
