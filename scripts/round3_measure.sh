@@ -55,10 +55,17 @@ timeout 5400 python -u scripts/tpu_quality_run.py 4800 100 \
     >> /tmp/r3_quality.log 2>&1
 echo "EXIT=$?" >> /tmp/r3_quality.log
 
+echo "=== AR probe/frame serving: network vs baked ===" \
+    | tee /tmp/r3_probe_fps.log
+timeout 2400 python -u scripts/tpu_insert_probe_fps.py \
+    /tmp/quality_run_ckpt.npz 192 >> /tmp/r3_probe_fps.log 2>&1
+echo "EXIT=$?" >> /tmp/r3_probe_fps.log
+
 # Preserve the measured evidence in-repo: the pool can wedge for many
 # hours, so a later session (or the judge) must not depend on /tmp.
 mkdir -p bench_runs
-for f in bench step anatomy anatomy_128 anatomy_noq anatomy_w4 fps quality; do
+for f in bench step anatomy anatomy_128 anatomy_noq anatomy_w4 fps quality \
+        probe_fps; do
     [ -f "/tmp/r3_${f}.log" ] && cp "/tmp/r3_${f}.log" \
         "bench_runs/r3_chain_${f}.log"
 done
