@@ -414,6 +414,11 @@ class NeRFTrainer:
         block-aligned. Fused into one program when tc.fuse_grid_update,
         otherwise two dispatches (grid update, scanned steps)."""
         assert self.step % self.tc.update_interval == 0
+        # schedule-level exact-corner finish: belongs to every block driver,
+        # not just fit() — a direct train_block() loop (bench A/Bs, user
+        # code) must get production anneal semantics too (idempotent;
+        # frac >= 1.0 disables)
+        self._maybe_anneal_stoch()
         self.key, k = jax.random.split(self.key)
         if self.tc.fuse_grid_update or self.mesh is not None:
             if self.mesh is not None:
