@@ -363,6 +363,50 @@ def test_split_color_path_matches_exact():
     assert psnr > 38.0, f"window-8 vs exact PSNR {psnr:.1f}"
 
 
+def test_t_far_clamp_semantics():
+    """Per-ray far clamp (the AR dirty-rect mesh-depth bound): a huge
+    t_far must be a no-op (bit-exact vs unclamped), a mid-scene clamp can
+    only reduce opacity, and depth mass must stay in front of the clamp.
+    t_far is in the CALLER's ray parameterization (unnormalized dirs)."""
+    B = 48
+    baked = bake_field(analytic_field, SCALE, resolution=B, n_dirs=16,
+                       dtype=jnp.float32)
+    W = H = 32
+    f = 0.5 * W / np.tan(0.5 * np.deg2rad(45.0))
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
+    dirs = jnp.asarray(get_ray_directions(H, W, K))
+    ro, rd = get_rays(dirs, jnp.asarray(look_at_pose(
+        np.array([0.9, 0.25, 0.75]))))   # unnormalized pinhole dirs
+    from arnerf_tpu.rendering_baked import render_baked_uniform
+    kw = dict(B=B, scale=SCALE, interp="stochastic", T_threshold=1e-3,
+              n_steps=96, samples_per_round=16, mip=baked.mip,
+              sigma=baked.sigma, color_window=8)
+    key = jax.random.PRNGKey(9)
+    base = render_baked_uniform(baked.rows, baked.aabb_lo, baked.aabb_hi,
+                                ro, rd, key, **kw)
+    huge = render_baked_uniform(baked.rows, baked.aabb_lo, baked.aabb_hi,
+                                ro, rd, key,
+                                t_far=jnp.full(ro.shape[0], 1e6), **kw)
+    np.testing.assert_array_equal(np.asarray(huge["rgb"]),
+                                  np.asarray(base["rgb"]))
+    np.testing.assert_array_equal(np.asarray(huge["opacity"]),
+                                  np.asarray(base["opacity"]))
+    # clamp at the per-ray median surface depth: opacity can only drop
+    med = jnp.where(base["opacity"] > 0.5, base["depth"], 1e6)
+    clamped = render_baked_uniform(baked.rows, baked.aabb_lo, baked.aabb_hi,
+                                   ro, rd, key, t_far=med, **kw)
+    assert np.all(np.asarray(clamped["opacity"])
+                  <= np.asarray(base["opacity"]) + 1e-5)
+    assert float(jnp.sum(clamped["opacity"])) \
+        < float(jnp.sum(base["opacity"]))
+    # 0 = "no mesh at this pixel" = no clamp
+    zero = render_baked_uniform(baked.rows, baked.aabb_lo, baked.aabb_hi,
+                                ro, rd, key,
+                                t_far=jnp.zeros(ro.shape[0]), **kw)
+    np.testing.assert_array_equal(np.asarray(zero["opacity"]),
+                                  np.asarray(base["opacity"]))
+
+
 def test_block4_silhouette_block_far_content():
     """A 2x2 block whose ray 0 MISSES the tight AABB while a sibling hits
     content far from the camera (entry t > one box diagonal) must still
