@@ -43,8 +43,10 @@ def test_all_reference_flags_present_with_defaults():
     assert h["compute_dtype"] == "auto"
     assert h["stoch_corners"] == "auto"
     assert h["seg_pool"] == "on"
-    # 30 reference flags + 3 TPU-side additions
-    assert len(h) == 33
+    # sharded hash-table training (parallel/tp.py); 1 = pure DP
+    assert h["model_parallel"] == 1
+    # 30 reference flags + 4 TPU-side additions
+    assert len(h) == 34
 
 
 def test_flag_overrides_parse():
