@@ -129,13 +129,13 @@ class NGPInsertor:
         # main.py:306-407 does the same through its CUDA renderer). The
         # baked SH grid (rendering_baked.py) answers a probe ray with ~1
         # narrow gather per sample instead of 128, after a one-time bake.
-        # Same gates as the other baked paths (ADVICE r2): single cascade
-        # and LDR Sigmoid output (HDR probes need output_radiance through
-        # the tonemapper-free path — network fallback).
+        # LDR Sigmoid scenes only (HDR probes need output_radiance through
+        # the tonemapper-free path — network fallback); multi-cascade
+        # scenes bake per-cascade grids (rendering_baked.bake_field_mc).
         self._baked = None
         self.use_baked = (
             os.environ.get('ARNERF_INSERT_BAKED', '') == '1'
-            and self.cfg.cascades == 1 and self.cfg.rgb_act == 'Sigmoid')
+            and self.cfg.rgb_act == 'Sigmoid')
 
     def _load_or_init_brdf(self, path, input_ch, output_ch):
         params = mlp_skip_init(jax.random.PRNGKey(42), input_ch, output_ch,

@@ -82,6 +82,14 @@ class BakedField(NamedTuple):
     # a 32 B row gather (~11 ns) instead of one ~38 ns big-table row.
     row_index: jnp.ndarray = None
     rows_q: jnp.ndarray = None
+    # Multi-cascade scenes (scale > 0.5, reference colmap/nerfpp): rows is
+    # the concatenation of `cascades` B^3 grids, cascade c covering the
+    # cube of half-extent min(2^(c-1), scale) (the training grid's nesting,
+    # models/ngp.py _cells_to_world). Sample lookup picks the FINEST
+    # cascade containing the point (mip_from_pos) — inner-region rows of
+    # outer cascades are dead. cascades == 1 keeps every single-cascade
+    # path bit-identical (this field is aux, like resolution/scale).
+    cascades: int = 1
 
     # NamedTuple keeps this a pytree; resolution/scale ride as aux via the
     # static argnums of the jitted entry points (callers pass them split).
@@ -265,6 +273,145 @@ def bake_field(field_fn, scale: float, resolution: int = 256,
     return BakedField(rows=rows, resolution=B, scale=scale,
                       aabb_lo=aabb_lo, aabb_hi=aabb_hi, mip=mip,
                       sigma=sigma, row_index=row_index, rows_q=rows_q)
+
+
+def cascade_half_extents(cascades: int, scale: float):
+    """World half-extent of each cascade's cube: 0.5, 1, 2, ... capped at
+    scale (the training grid's nesting, models/ngp.py _cells_to_world)."""
+    return [float(min(2.0 ** (c - 1) if c else 0.5, scale))
+            for c in range(cascades)]
+
+
+def bake_field_mc(field_fn, scale: float, cascades: int,
+                  resolution: int = 128, occ_masks=None, **bake_kw):
+    """Multi-cascade bake: one B^3 SH grid per nested cascade cube,
+    concatenated into a single (C*B^3, 32) table (BakedField.cascades).
+
+    occ_masks: optional list of (B^3,) bools per cascade. The per-cascade
+    grids are baked by bake_field at that cascade's half-extent; the AABB
+    is the union of the per-cascade tight bounds. The coarse mip and the
+    quantized color table are single-cascade machinery and stay None —
+    the MC renderer (render_baked_mc) is the correctness-first path."""
+    B = resolution
+    halves = cascade_half_extents(cascades, scale)
+    parts = []
+    for c, h in enumerate(halves):
+        m = occ_masks[c] if occ_masks is not None else None
+        parts.append(bake_field(field_fn, h, resolution=B, occ_mask=m,
+                                quantize_colors=False, **bake_kw))
+    rows = jnp.concatenate([p.rows for p in parts], axis=0)
+    sigma = jnp.concatenate([p.sigma for p in parts], axis=0)
+    aabb_lo = jnp.min(jnp.stack([p.aabb_lo for p in parts]), axis=0)
+    aabb_hi = jnp.max(jnp.stack([p.aabb_hi for p in parts]), axis=0)
+    return BakedField(rows=rows, resolution=B, scale=scale,
+                      aabb_lo=aabb_lo, aabb_hi=aabb_hi, sigma=sigma,
+                      cascades=cascades)
+
+
+def _mc_voxel_index(x, jitter, B: int, scale: float, cascades: int):
+    """Stochastic-trilerp voxel row for multi-cascade tables: pick the
+    finest cascade containing the point (position-only — the renderer's
+    steps already scale with distance), then index that cascade's grid.
+    x: (M, 3); jitter: 3-tuple of (M,) uniforms. Returns (M,) int32 into
+    the concatenated (C*B^3,) layout."""
+    from .ops.stepping import mip_from_pos
+    c = mip_from_pos(x, cascades)                                 # (M,)
+    h = jnp.minimum(jnp.exp2(c.astype(jnp.float32) - 1.0), scale)
+    ids = []
+    for d in range(3):
+        u = (x[:, d] + h) / (2.0 * h) * B - 0.5
+        ids.append(jnp.clip(jnp.floor(u + jitter[d]).astype(jnp.int32),
+                            0, B - 1))
+    return ((c * B + ids[0]) * B + ids[1]) * B + ids[2]
+
+
+@partial(jax.jit, static_argnames=(
+    "B", "scale", "cascades", "T_threshold", "n_steps_cap",
+    "samples_per_round", "step_mult"))
+def render_baked_mc_uniform(rows, aabb_lo, aabb_hi, rays_o, rays_d, key, *,
+                            B: int, scale: float, cascades: int,
+                            T_threshold: float = 1e-2,
+                            n_steps_cap: int = 512,
+                            samples_per_round: int = 16,
+                            step_mult: float = 1.0, t_far=None):
+    """Multi-cascade baked render chunk: distance-scaled (exponential)
+    stepping so the step length tracks the LOCAL cascade's voxel size.
+
+    Uniform stepping — correct for one cube — undersamples the inner
+    cascade ~(scale/0.5)x on unbounded scenes (a scale-4 diagonal in
+    n_steps crosses the inner cube in ~n_steps/8 samples), so here
+    dt(t) = clip(t * g, dt0, dt_max) with g = step_mult * 2/B (one local
+    voxel per step at distance t, mirroring the reference's exp stepping,
+    csrc/raymarching.cu calc_dt) and dt0/dt_max the inner/outer voxel
+    sizes. The round loop carries t; a tiny S-step scan builds each
+    round's sample ladder (pure ALU — the gathers dominate).
+
+    Correctness-first MC path: no coarse-mip prelude, no split color
+    fetch, no survivor compaction (early termination still exits
+    saturated rays between rounds). Single-cascade scenes keep the
+    optimized render_baked_uniform unchanged."""
+    from .ops.rng import hash_uniform3
+    N = rays_o.shape[0]
+    S = samples_per_round
+    dn = jnp.linalg.norm(rays_d, axis=-1, keepdims=True).clip(1e-12)
+    rays_d = rays_d / dn
+    hits = ray_aabb_intersect_single(rays_o, rays_d, (aabb_lo + aabb_hi) / 2,
+                                     (aabb_hi - aabb_lo) / 2)
+    t1 = jnp.maximum(hits[:, 0], 0.0)
+    t2 = hits[:, 1]
+    if t_far is not None:
+        tf = t_far * dn[:, 0]
+        t2 = jnp.where(t_far >= 1e-6,
+                       jnp.maximum(jnp.minimum(t2, tf), t1), t2)
+    seed = jax.random.bits(key, dtype=jnp.uint32)
+    sh_d = sh9_basis(rays_d)                                      # (N, 9)
+
+    g = step_mult * 2.0 / B
+    dt0 = step_mult * 2.0 * 0.5 / B            # inner-cascade voxel
+    dt_max = step_mult * 2.0 * scale / B       # outermost voxel
+    max_rounds = -(-n_steps_cap // S)
+
+    def cond(carry):
+        *_, alive, rounds = carry
+        return jnp.any(alive) & (rounds < max_rounds)
+
+    def body(carry):
+        t_cur, opacity, depth, rgb, alive, rounds = carry
+
+        def ladder(t, _):
+            dt = jnp.clip(t * g, dt0, dt_max)
+            return t + dt, (t + 0.5 * dt, dt)
+
+        t_next, (ts, dts) = jax.lax.scan(ladder, t_cur, None, length=S)
+        ts = jnp.transpose(ts)                                    # (N, S)
+        dts = jnp.transpose(dts)
+        pos = rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :]
+        flat_x = pos.reshape(N * S, 3)
+        ctr = (jnp.uint32(rounds) * jnp.uint32(N * S)
+               + jnp.arange(N * S, dtype=jnp.uint32))
+        jitter = hash_uniform3(ctr, seed, stream=1)
+        ii = _mc_voxel_index(flat_x, jitter, B, scale, cascades)
+        f = rows[ii].astype(jnp.float32)                          # (M, 32)
+        sig = f[:, 0].reshape(N, S)
+        sh = f[:, 1:28].reshape(N, S, 3, N_SH)
+        col = jnp.maximum(jnp.einsum("nsck,nk->nsc", sh, sh_d), 0.0)
+        in_range = (ts < t2[:, None]) & alive[:, None]
+        sig = jnp.where(in_range, sig, 0.0)
+        n_eff = jnp.sum(in_range, axis=1)
+        opacity, depth, rgb, still = composite_test_step(
+            sig, col, dts, ts, n_eff, opacity, depth, rgb, T_threshold)
+        t_cur = jnp.where(alive, t_next, t_cur)
+        alive = alive & still & (t_cur < t2)
+        return (t_cur, opacity, depth, rgb, alive, rounds + 1)
+
+    alive0 = (hits[:, 0] > -0.5) & (t2 > t1)
+    carry = (t1, jnp.zeros(N), jnp.zeros(N), jnp.zeros((N, 3)), alive0,
+             jnp.int32(0))
+    t_cur, opacity, depth, rgb, alive, rounds = \
+        jax.lax.while_loop(cond, body, carry)
+    return {"opacity": opacity, "depth": depth / dn[:, 0], "rgb": rgb,
+            "rounds": rounds,
+            "n_prelude_alive": jnp.sum(alive0.astype(jnp.int32))}
 
 
 def sample_baked(rows, xyz, sh_d, B: int, scale: float,
@@ -794,19 +941,27 @@ def render_baked(baked: BakedField, grid_state, rays_o, rays_d, cfg, *,
     keys = jax.random.split(key, max(1, len(buckets)))
     mdm_np = (np.asarray(mesh_depth_map, np.float32)
               if mesh_depth_map is not None else None)
+    mc = getattr(baked, "cascades", 1) > 1
     for (sl, ro, rd, n), k in zip(buckets, keys):
         t_far = None
         if mdm_np is not None:
             # pad value 0 = no clamp; pad rays die on the AABB cull anyway
             t_far = jnp.asarray(np.concatenate(
                 [mdm_np[sl], np.zeros(ro.shape[0] - n, np.float32)]))
-        res = render_baked_uniform(
-            baked.rows, baked.aabb_lo, baked.aabb_hi, ro, rd, k,
-            B=baked.resolution, scale=baked.scale, interp=interp,
-            T_threshold=T_threshold, n_steps=n_steps,
-            samples_per_round=samples_per_round, mip=baked.mip,
-            sigma=baked.sigma, color_window=color_window, block4=blocked,
-            row_index=baked.row_index, rows_q=baked.rows_q, t_far=t_far)
+        if mc:
+            res = render_baked_mc_uniform(
+                baked.rows, baked.aabb_lo, baked.aabb_hi, ro, rd, k,
+                B=baked.resolution, scale=baked.scale,
+                cascades=baked.cascades, T_threshold=T_threshold,
+                samples_per_round=samples_per_round, t_far=t_far)
+        else:
+            res = render_baked_uniform(
+                baked.rows, baked.aabb_lo, baked.aabb_hi, ro, rd, k,
+                B=baked.resolution, scale=baked.scale, interp=interp,
+                T_threshold=T_threshold, n_steps=n_steps,
+                samples_per_round=samples_per_round, mip=baked.mip,
+                sigma=baked.sigma, color_window=color_window, block4=blocked,
+                row_index=baked.row_index, rows_q=baked.rows_q, t_far=t_far)
         opacity[sl] = np.asarray(res["opacity"])[:n]
         depth[sl] = np.asarray(res["depth"])[:n]
         rgb[sl] = np.asarray(res["rgb"])[:n]
@@ -838,17 +993,26 @@ def baked_frame_device_fn(baked: BakedField, rays_o, rays_d, *,
                                            img_wh=img_wh)
     reduce_fn = jax.jit(lambda xs: sum(jnp.sum(x) for x in xs))
 
+    mc = getattr(baked, "cascades", 1) > 1
+
     def frame(key):
         outs = []
         for sl, ro, rd, n in buckets:
-            res = render_baked_uniform(
-                baked.rows, baked.aabb_lo, baked.aabb_hi, ro, rd, key,
-                B=baked.resolution, scale=baked.scale, interp=interp,
-                T_threshold=T_threshold, n_steps=n_steps,
-                samples_per_round=samples_per_round, mip=baked.mip,
-                sigma=baked.sigma, color_window=color_window,
-                block4=blocked,
-                row_index=baked.row_index, rows_q=baked.rows_q)
+            if mc:
+                res = render_baked_mc_uniform(
+                    baked.rows, baked.aabb_lo, baked.aabb_hi, ro, rd, key,
+                    B=baked.resolution, scale=baked.scale,
+                    cascades=baked.cascades, T_threshold=T_threshold,
+                    samples_per_round=samples_per_round)
+            else:
+                res = render_baked_uniform(
+                    baked.rows, baked.aabb_lo, baked.aabb_hi, ro, rd, key,
+                    B=baked.resolution, scale=baked.scale, interp=interp,
+                    T_threshold=T_threshold, n_steps=n_steps,
+                    samples_per_round=samples_per_round, mip=baked.mip,
+                    sigma=baked.sigma, color_window=color_window,
+                    block4=blocked,
+                    row_index=baked.row_index, rows_q=baked.rows_q)
             outs.append(res["rgb"])
         return reduce_fn(outs) if outs else jnp.float32(0.0)
 
@@ -877,11 +1041,11 @@ def bake_ngp(params, grid_state, cfg, resolution: int = 256,
     cuts dispatch count — at a 256^3 bake with ~20% occupancy the exact
     path needs ~900 dispatches at ~30 ms tunnel overhead each.
 
-    Single-cascade scenes only (ADVICE r2): the bake covers the
-    [-scale, scale] cube from cascade-0 occupancy, so multi-cascade
-    (scale > 0.5, colmap/nerfpp) outer content would be silently dropped —
-    refuse instead. Callers (show_gui.py / eval.py ARNERF_*_BAKED gates)
-    check cfg.cascades == 1 before baking.
+    Multi-cascade scenes (scale > 0.5, colmap/nerfpp) bake one B^3 grid
+    per nested cascade cube from that cascade's occupancy slice
+    (bake_field_mc) and render through the correctness-first exponential
+    stepper (render_baked_mc_uniform). Round 2 refused them outright
+    (ADVICE r2 — outer content was silently dropped before that).
     """
     from .models.ngp import ngp_forward
     use_stoch = stoch is True or (stoch == "auto"
@@ -891,35 +1055,36 @@ def bake_ngp(params, grid_state, cfg, resolution: int = 256,
         # gather ceiling (~33M rows, DESIGN.md): 16 levels x (8 | 1) corners
         rows_per_sample = cfg.hash_cfg.n_levels * (1 if use_stoch else 8)
         chunk = max(1 << 12, (1 << 24) // max(1, n_dirs * rows_per_sample))
-    if cfg.cascades != 1:
-        raise ValueError(
-            f"bake_ngp only supports single-cascade scenes (got "
-            f"cascades={cfg.cascades}): outer-cascade content beyond "
-            f"[-scale, scale] would be silently dropped")
     B = resolution
     G = cfg.grid_size
-    # occ_flat layout is row-major (x, y, z) (models/ngp.py _cell_coords)
-    occ_xyz = np.asarray(grid_state.occ_flat[:G ** 3]).reshape(G, G, G) > 0
-    # resample to bake resolution FIRST, then dilate by one VOXEL:
-    # dilating at occupancy-cell granularity inflated a carved grid's bake
-    # set ~3x per axis (25% of 256^3 voxels on a converged scene).
-    if B >= G:
-        # upsample: nearest-cell map, exact for any B (incl. non-multiples
-        # of G — np.repeat assumed B % G == 0 and broke --bake_res 192)
-        ci = (np.arange(B) * G) // B
-        mask = occ_xyz[np.ix_(ci, ci, ci)]
-    else:
-        # downsample: conservative any-pool over each voxel's cell bucket
-        bi = (np.arange(G) * B) // G
-        mask = np.zeros((B, B, B), bool)
-        np.logical_or.at(mask, np.ix_(bi, bi, bi), occ_xyz)
-    p = np.pad(mask, 1)
-    d = np.zeros_like(mask)
-    for dx in (0, 1, 2):
-        for dy in (0, 1, 2):
-            for dz in (0, 1, 2):
-                d |= p[dx:dx + B, dy:dy + B, dz:dz + B]
-    mask_flat = d.reshape(-1)
+
+    def resample_dilate(occ_xyz):
+        # resample to bake resolution FIRST, then dilate by one VOXEL:
+        # dilating at occupancy-cell granularity inflated a carved grid's
+        # bake set ~3x per axis (25% of 256^3 voxels on a converged scene).
+        if B >= G:
+            # upsample: nearest-cell map, exact for any B (incl.
+            # non-multiples of G — np.repeat assumed B % G == 0 and broke
+            # --bake_res 192)
+            ci = (np.arange(B) * G) // B
+            mask = occ_xyz[np.ix_(ci, ci, ci)]
+        else:
+            # downsample: conservative any-pool over each voxel's bucket
+            bi = (np.arange(G) * B) // G
+            mask = np.zeros((B, B, B), bool)
+            np.logical_or.at(mask, np.ix_(bi, bi, bi), occ_xyz)
+        p = np.pad(mask, 1)
+        d = np.zeros_like(mask)
+        for dx in (0, 1, 2):
+            for dy in (0, 1, 2):
+                for dz in (0, 1, 2):
+                    d |= p[dx:dx + B, dy:dy + B, dz:dz + B]
+        return d.reshape(-1)
+
+    # occ_flat layout is row-major [mip, x, y, z] (models/ngp.py
+    # _cell_coords)
+    occ_np = np.asarray(grid_state.occ_flat).reshape(cfg.cascades, G, G, G)
+    masks = [resample_dilate(occ_np[c] > 0) for c in range(cfg.cascades)]
 
     if use_stoch:
         def field_fn(x, dirs, seed):
@@ -930,6 +1095,10 @@ def bake_ngp(params, grid_state, cfg, resolution: int = 256,
 
     # chunk * n_dirs field points per program; default keeps the peak
     # intermediate (N, L, 8, 3) index tensor well under the 16 GB HBM
-    return bake_field(field_fn, cfg.scale, resolution=B,
-                      occ_mask=mask_flat, n_dirs=n_dirs, dtype=dtype,
-                      chunk=chunk, seeded=use_stoch, mean_sigma=use_stoch)
+    kw = dict(n_dirs=n_dirs, dtype=dtype, chunk=chunk, seeded=use_stoch,
+              mean_sigma=use_stoch)
+    if cfg.cascades == 1:
+        return bake_field(field_fn, cfg.scale, resolution=B,
+                          occ_mask=masks[0], **kw)
+    return bake_field_mc(field_fn, cfg.scale, cfg.cascades, resolution=B,
+                         occ_masks=masks, **kw)

@@ -67,10 +67,10 @@ def main():
     # network renderer (LDR only; rendering_baked.py)
     import os
     baked = None
-    # LDR single-cascade only: bake_ngp covers [-scale, scale] from
-    # cascade-0 occupancy, so multi-cascade outer content would be dropped
+    # LDR scenes only (HDR needs the tonemapper MLPs); multi-cascade
+    # scenes bake per-cascade grids (rendering_baked.bake_field_mc)
     if os.environ.get('ARNERF_EVAL_BAKED', '') not in ('', '0') \
-            and rgb_act == 'Sigmoid' and cfg.cascades == 1:
+            and rgb_act == 'Sigmoid':
         from arnerf_tpu.rendering_baked import bake_ngp, render_baked
         t0 = time.time()
         baked = bake_ngp(params, grid_state, cfg)

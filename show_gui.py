@@ -85,10 +85,10 @@ class NGPGUI:
         if baked is None:
             baked = os.environ.get('ARNERF_GUI_BAKED', '') not in ('', '0')
         self.baked = None
-        # baked path: LDR single-cascade only (multi-cascade scenes would
-        # lose all outer-cascade content — bake_ngp covers [-scale, scale])
-        if baked and self.cfg.rgb_act == 'Sigmoid' \
-                and self.cfg.cascades == 1 and hparams.ckpt_path:
+        # baked path: LDR scenes (HDR needs the tonemapper MLPs); multi-
+        # cascade scenes bake per-cascade grids and render through the
+        # exponential-stepping MC path (rendering_baked.bake_field_mc)
+        if baked and self.cfg.rgb_act == 'Sigmoid' and hparams.ckpt_path:
             from arnerf_tpu.rendering_baked import bake_ngp
             t0 = time.time()
             self.baked = bake_ngp(self.params, self.grid_state, self.cfg)

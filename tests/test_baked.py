@@ -248,19 +248,90 @@ def test_bake_ngp_non_multiple_resolution():
         assert float(jnp.max(baked.rows[:, 0])) > 0
 
 
-def test_bake_refuses_multi_cascade():
-    """ADVICE r2: multi-cascade scenes would silently lose outer-cascade
-    content — bake_ngp must refuse rather than drop geometry."""
-    import pytest
+def test_bake_ngp_multi_cascade_smoke():
+    """bake_ngp on a scale-2 (3-cascade) NGP: per-cascade occupancy slices
+    drive per-cascade grids; the render runs end to end (random-init
+    field — shapes/finiteness, occupancy plumbing, and that outer-cascade
+    occupancy actually produces baked content)."""
     from arnerf_tpu.models import NGPConfig, ngp_init, grid_state_init
-    from arnerf_tpu.rendering_baked import bake_ngp
+    from arnerf_tpu.rendering_baked import bake_ngp, render_baked
     cfg = NGPConfig(scale=2.0, grid_size=16, n_levels=2,
                     log2_hashmap_size=8, base_resolution=4)
-    assert cfg.cascades > 1
+    assert cfg.cascades == 3
     params = ngp_init(jax.random.PRNGKey(0), cfg)
     gs = grid_state_init(cfg)
-    with pytest.raises(ValueError, match="cascade"):
-        bake_ngp(params, gs, cfg, resolution=16)
+    G = cfg.grid_size
+    occ = np.zeros((cfg.cascades, G, G, G), np.uint8)
+    occ[0, 6:10, 6:10, 6:10] = 1          # inner blob (|x| < 0.5)
+    occ[2, 1:3, 7:9, 7:9] = 1             # outer blob (x near -1.7)
+    gs = gs._replace(occ_flat=jnp.asarray(occ.reshape(-1)))
+    baked = bake_ngp(params, gs, cfg, resolution=16, n_dirs=8)
+    assert baked.cascades == 3
+    assert baked.rows.shape == (3 * 16 ** 3, N_CH)
+    # outer-cascade occupancy must reach the union AABB
+    assert float(baked.aabb_lo[0]) < -1.0
+    rows = np.asarray(baked.rows)
+    assert np.isfinite(rows).all()
+    assert (rows[2 * 16 ** 3:, 0] > 0).any(), "outer cascade baked empty"
+    ro = jnp.asarray(np.tile([0.0, 0.0, -4.5], (64, 1)), jnp.float32)
+    rng = np.random.default_rng(0)
+    tgt = rng.uniform(-1.5, 1.5, (64, 3)).astype(np.float32)
+    rd = jnp.asarray(tgt - np.asarray(ro))
+    out = render_baked(baked, gs, ro, rd, cfg, key=jax.random.PRNGKey(1))
+    assert np.isfinite(np.asarray(out["rgb"])).all()
+    assert float(jnp.max(out["opacity"])) <= 1.0 + 1e-5
+
+
+def test_mc_bake_and_render_matches_oracle():
+    """Multi-cascade bake + exponential-stepping render vs the analytic
+    oracle on a scale-2 (3-cascade) scene. This is the path that round 2
+    refused (ADVICE r2) — the test pins that outer-cascade content (the
+    ground slab at |x| up to 2) and inner content (sphere/box spanning
+    the 0.5 cascade boundary) both render."""
+    from arnerf_tpu.rendering_baked import (bake_field_mc,
+                                            cascade_half_extents,
+                                            render_baked)
+    SC = 2.0
+    C = 3
+    B = 96
+    assert cascade_half_extents(C, SC) == [0.5, 1.0, 2.0]
+
+    def field(x, d):
+        return analytic_sigma(x, SC), analytic_rgb(x, SC)
+
+    # per-cascade occupancy from the analytic density at voxel centers
+    masks = []
+    for h in cascade_half_extents(C, SC):
+        ax = (np.arange(B, dtype=np.float32) + 0.5) / B * 2 * h - h
+        gx, gy, gz = np.meshgrid(ax, ax, ax, indexing="ij")
+        pts = jnp.asarray(np.stack([gx, gy, gz], -1).reshape(-1, 3))
+        masks.append(np.asarray(analytic_sigma(pts, SC)) > 1e-2)
+    baked = bake_field_mc(field, SC, C, resolution=B, occ_masks=masks,
+                          n_dirs=16)
+    assert baked.cascades == C
+    assert baked.rows.shape[0] == C * B ** 3
+    # the slab reaches |x|,|z| = 2: the union AABB must extend past the
+    # inner cascades
+    assert float(baked.aabb_hi[0]) > 1.5 and float(baked.aabb_lo[2]) < -1.5
+
+    W = H = 48
+    f = 0.5 * W / np.tan(0.5 * np.deg2rad(45.0))
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
+    dirs = jnp.asarray(get_ray_directions(H, W, K))
+    ro, rd = get_rays(dirs, jnp.asarray(look_at_pose(
+        np.array([0.9, 0.25, 0.75]) * SC * 2.2)))
+    res = render_baked(baked, None, ro, rd, None, key=jax.random.PRNGKey(2),
+                       T_threshold=1e-3)
+    rdn = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    gt_rgb, gt_opa, _ = render_analytic(ro, rdn, SC, n_samples=1024,
+                                        white_bg=False)
+    pred = np.asarray(res["rgb"])
+    mse = float(np.mean((pred - np.asarray(gt_rgb)) ** 2))
+    psnr = -10 * np.log10(max(mse, 1e-12))
+    assert psnr > 24.0, f"MC baked vs oracle PSNR {psnr:.1f}"
+    # opacity agreement proves both slab (outer) and object (inner) march
+    assert np.mean(np.abs(np.asarray(res["opacity"])
+                          - np.asarray(gt_opa))) < 0.05
 
 
 def test_sigma_mip_covers_density_and_only_near_density():
