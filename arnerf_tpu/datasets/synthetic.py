@@ -171,9 +171,18 @@ class SyntheticDataset(BaseDataset):
             rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
             parts = []
             for i in range(0, n, chunk):
+                # GT background must match the training convention
+                # (rendering.py / reference rendering.py:287-296): bounded
+                # scenes (exp_step_factor == 0, i.e. scale <= 0.5) blend
+                # WHITE like the blender datasets; unbounded scenes blend
+                # BLACK — white-bg GT there makes empty rays est~0 vs
+                # gt~1, and the relative loss (1/(est+1e-3))^2 explodes
+                # into NaN within a few hundred steps (found by the
+                # scale-2 e2e; real photos have no synthetic background).
                 rgb, _, _ = render_analytic(ro[i:i + chunk], rd[i:i + chunk],
                                             cfg.scale,
-                                            n_samples=cfg.gt_samples)
+                                            n_samples=cfg.gt_samples,
+                                            white_bg=cfg.scale <= 0.5)
                 parts.append(np.asarray(rgb, np.float32))
             imgs.append(np.concatenate(parts))
         return np.stack(imgs)  # (N, H*W, 3)
