@@ -249,30 +249,41 @@ def bake_field(field_fn, scale: float, resolution: int = 256,
     rows, aabb_lo, aabb_hi, mip, sigma = finalize(rows)
     row_index = rows_q = None
     if quantize_colors and V:
-        # occ_j rides as a jit ARGUMENT: a closed-over (V,) device array
-        # would embed as a program constant, which the axon remote
-        # compiler rejects at this size (HTTP 413; round-2 rule — same
-        # reason bake_chunk takes idx as an argument).
-        @jax.jit
-        def build_quant(rows, occ_j):
-            sh = rows[occ_j, 1:28].astype(jnp.float32)        # (V, 27)
-            sc = jnp.max(jnp.abs(sh), axis=1) / 127.0         # (V,)
-            q = jnp.round(sh / jnp.maximum(sc, 1e-20)[:, None]) \
-                .astype(jnp.int8)
-            sbits = jax.lax.bitcast_convert_type(
-                sc.astype(jnp.float32), jnp.int8)             # (V, 4)
-            row = jnp.concatenate(
-                [q, jnp.zeros((V, N_CH - 31), jnp.int8), sbits], axis=1)
-            rq = jnp.concatenate(
-                [jnp.zeros((1, N_CH), jnp.int8), row], axis=0)
-            ri = jnp.zeros(B ** 3, jnp.int32).at[occ_j].set(
-                jnp.arange(1, V + 1, dtype=jnp.int32))
-            return rq, ri
-        rows_q, row_index = build_quant(rows, jnp.asarray(occ_idx[:V],
-                                                          jnp.int32))
+        rows_q, row_index = quantize_color_table(rows, occ_idx[:V], B ** 3)
     return BakedField(rows=rows, resolution=B, scale=scale,
                       aabb_lo=aabb_lo, aabb_hi=aabb_hi, mip=mip,
                       sigma=sigma, row_index=row_index, rows_q=rows_q)
+
+
+def quantize_color_table(rows, occ_idx_np, n_rows_total: int):
+    """Occupied-only int8 color table (BakedField.rows_q/row_index),
+    shared by bake_field and bake_field_mc: (1 + V, 32) int8 rows with
+    layout [sh27 int8, pad, f32-scale-bits(4)] (per-voxel symmetric
+    quantization, row 0 reserved all-zeros for empty voxels) plus the
+    (n_rows_total,) int32 voxel -> compact-row index."""
+    V = len(occ_idx_np)
+
+    # occ_j rides as a jit ARGUMENT: a closed-over (V,) device array
+    # would embed as a program constant, which the axon remote
+    # compiler rejects at this size (HTTP 413; round-2 rule — same
+    # reason bake_field's bake_chunk takes idx as an argument).
+    @partial(jax.jit, static_argnames=())
+    def build_quant(rows, occ_j):
+        sh = rows[occ_j, 1:28].astype(jnp.float32)        # (V, 27)
+        sc = jnp.max(jnp.abs(sh), axis=1) / 127.0         # (V,)
+        q = jnp.round(sh / jnp.maximum(sc, 1e-20)[:, None]) \
+            .astype(jnp.int8)
+        sbits = jax.lax.bitcast_convert_type(
+            sc.astype(jnp.float32), jnp.int8)             # (V, 4)
+        row = jnp.concatenate(
+            [q, jnp.zeros((V, N_CH - 31), jnp.int8), sbits], axis=1)
+        rq = jnp.concatenate(
+            [jnp.zeros((1, N_CH), jnp.int8), row], axis=0)
+        ri = jnp.zeros(n_rows_total, jnp.int32).at[occ_j].set(
+            jnp.arange(1, V + 1, dtype=jnp.int32))
+        return rq, ri
+
+    return build_quant(rows, jnp.asarray(occ_idx_np, jnp.int32))
 
 
 def cascade_half_extents(cascades: int, scale: float):
@@ -283,15 +294,23 @@ def cascade_half_extents(cascades: int, scale: float):
 
 
 def bake_field_mc(field_fn, scale: float, cascades: int,
-                  resolution: int = 128, occ_masks=None, **bake_kw):
+                  resolution: int = 128, occ_masks=None,
+                  quantize_colors: bool = True, **bake_kw):
     """Multi-cascade bake: one B^3 SH grid per nested cascade cube,
     concatenated into a single (C*B^3, 32) table (BakedField.cascades).
 
     occ_masks: optional list of (B^3,) bools per cascade. The per-cascade
     grids are baked by bake_field at that cascade's half-extent; the AABB
-    is the union of the per-cascade tight bounds. The coarse mip and the
-    quantized color table are single-cascade machinery and stay None —
-    the MC renderer (render_baked_mc) is the correctness-first path."""
+    is the union of the per-cascade tight bounds. The coarse mip is
+    single-cascade machinery and stays None.
+
+    quantize_colors (needs occ_masks — the occupied list must come from
+    the host-side masks, not from fetching C*B^3 sigmas back through the
+    tunnel): occupied-only int8 color table over the CONCATENATED layout,
+    which is what makes the MC split renderer's color fetches viable at
+    production resolution — the dense (C*B^3, 32) f32 table is ~6.3 GB at
+    256^3 x 3 cascades, far past the ~128 MB gather cliff (and a real HBM
+    liability); the compact table is occupancy-sized."""
     B = resolution
     halves = cascade_half_extents(cascades, scale)
     parts = []
@@ -303,9 +322,17 @@ def bake_field_mc(field_fn, scale: float, cascades: int,
     sigma = jnp.concatenate([p.sigma for p in parts], axis=0)
     aabb_lo = jnp.min(jnp.stack([p.aabb_lo for p in parts]), axis=0)
     aabb_hi = jnp.max(jnp.stack([p.aabb_hi for p in parts]), axis=0)
+    row_index = rows_q = None
+    if quantize_colors and occ_masks is not None:
+        occ_idx = np.concatenate(
+            [np.nonzero(np.asarray(occ_masks[c]).reshape(-1))[0] + c * B ** 3
+             for c in range(cascades)])
+        if len(occ_idx):
+            rows_q, row_index = quantize_color_table(
+                rows, occ_idx, cascades * B ** 3)
     return BakedField(rows=rows, resolution=B, scale=scale,
                       aabb_lo=aabb_lo, aabb_hi=aabb_hi, sigma=sigma,
-                      cascades=cascades)
+                      cascades=cascades, row_index=row_index, rows_q=rows_q)
 
 
 def _mc_voxel_index(x, jitter, B: int, scale: float, cascades: int):
@@ -327,13 +354,15 @@ def _mc_voxel_index(x, jitter, B: int, scale: float, cascades: int):
 
 @partial(jax.jit, static_argnames=(
     "B", "scale", "cascades", "T_threshold", "n_steps_cap",
-    "samples_per_round", "step_mult"))
+    "samples_per_round", "step_mult", "color_window"))
 def render_baked_mc_uniform(rows, aabb_lo, aabb_hi, rays_o, rays_d, key, *,
                             B: int, scale: float, cascades: int,
                             T_threshold: float = 1e-2,
                             n_steps_cap: int = 512,
                             samples_per_round: int = 16,
-                            step_mult: float = 1.0, t_far=None):
+                            step_mult: float = 1.0, t_far=None,
+                            sigma=None, color_window: int = 0,
+                            row_index=None, rows_q=None):
     """Multi-cascade baked render chunk: distance-scaled (exponential)
     stepping so the step length tracks the LOCAL cascade's voxel size.
 
@@ -346,10 +375,22 @@ def render_baked_mc_uniform(rows, aabb_lo, aabb_hi, rays_o, rays_d, key, *,
     sizes. The round loop carries t; a tiny S-step scan builds each
     round's sample ladder (pure ALU — the gathers dominate).
 
-    Correctness-first MC path: no coarse-mip prelude, no split color
-    fetch, no survivor compaction (early termination still exits
-    saturated rays between rounds). Single-cascade scenes keep the
-    optimized render_baked_uniform unchanged."""
+    sigma + color_window > 0 enable the sigma-first SPLIT fetch (the
+    single-cascade v2 fast path ported here): every sample fetches only
+    4 B from the (C*B^3,) sigma table instead of a full 128 B SH row —
+    unbounded scenes march a LOT of empty outer-cascade space, and this
+    makes that space 32x cheaper in bytes — then exact compositing
+    weights are computed from sigma alone (same cumsum math as
+    composite_test_step, per-sample dts) and full rows are fetched only
+    for a `color_window`-wide stride-adaptive bucket tiling of each
+    ray's weight support. Weight mass is exact for any span (cumsum
+    differences); only color is box-averaged when the support exceeds
+    the window. opacity/depth match the unsplit path to float tolerance
+    (pinned by tests/test_baked.py::test_mc_split_color_path).
+
+    Still no coarse-mip prelude or survivor compaction on this path
+    (future work); early termination exits saturated rays between
+    rounds. Single-cascade scenes keep render_baked_uniform unchanged."""
     from .ops.rng import hash_uniform3
     N = rays_o.shape[0]
     S = samples_per_round
@@ -365,6 +406,7 @@ def render_baked_mc_uniform(rows, aabb_lo, aabb_hi, rays_o, rays_d, key, *,
                        jnp.maximum(jnp.minimum(t2, tf), t1), t2)
     seed = jax.random.bits(key, dtype=jnp.uint32)
     sh_d = sh9_basis(rays_d)                                      # (N, 9)
+    use_split = color_window > 0 and sigma is not None
 
     g = step_mult * 2.0 / B
     dt0 = step_mult * 2.0 * 0.5 / B            # inner-cascade voxel
@@ -391,15 +433,81 @@ def render_baked_mc_uniform(rows, aabb_lo, aabb_hi, rays_o, rays_d, key, *,
                + jnp.arange(N * S, dtype=jnp.uint32))
         jitter = hash_uniform3(ctr, seed, stream=1)
         ii = _mc_voxel_index(flat_x, jitter, B, scale, cascades)
-        f = rows[ii].astype(jnp.float32)                          # (M, 32)
-        sig = f[:, 0].reshape(N, S)
-        sh = f[:, 1:28].reshape(N, S, 3, N_SH)
-        col = jnp.maximum(jnp.einsum("nsck,nk->nsc", sh, sh_d), 0.0)
         in_range = (ts < t2[:, None]) & alive[:, None]
-        sig = jnp.where(in_range, sig, 0.0)
-        n_eff = jnp.sum(in_range, axis=1)
-        opacity, depth, rgb, still = composite_test_step(
-            sig, col, dts, ts, n_eff, opacity, depth, rgb, T_threshold)
+
+        if not use_split:
+            f = rows[ii].astype(jnp.float32)                      # (M, 32)
+            sig = f[:, 0].reshape(N, S)
+            sh = f[:, 1:28].reshape(N, S, 3, N_SH)
+            col = jnp.maximum(jnp.einsum("nsck,nk->nsc", sh, sh_d), 0.0)
+            sig = jnp.where(in_range, sig, 0.0)
+            n_eff = jnp.sum(in_range, axis=1)
+            opacity, depth, rgb, still = composite_test_step(
+                sig, col, dts, ts, n_eff, opacity, depth, rgb, T_threshold)
+            t_cur = jnp.where(alive, t_next, t_cur)
+            alive = alive & still & (t_cur < t2)
+            return (t_cur, opacity, depth, rgb, alive, rounds + 1)
+
+        # ---- split path: narrow sigma fetch -> exact weights ----------
+        # identical weight math to composite_test_step (in_range IS the
+        # prefix mask it derives from n_eff: ts is monotone in s and the
+        # alive mask zeroes whole rows), with per-sample dts instead of
+        # the single-cascade path's scalar dt.
+        iiNS = ii.reshape(N, S)
+        sig = jnp.where(in_range, sigma[ii].reshape(N, S), 0.0)
+        sd = sig * dts
+        sd_excl = jnp.cumsum(sd, axis=1) - sd
+        T_before = (1.0 - opacity)[:, None] * jnp.exp(-sd_excl)
+        alpha = 1.0 - jnp.exp(-sd)
+        included = (T_before > T_threshold) & in_range
+        w = alpha * T_before * included.astype(sig.dtype)         # (N, S)
+        opacity = opacity + jnp.sum(w, axis=1)
+        depth = depth + jnp.sum(w * ts, axis=1)
+
+        # big rows only over the per-ray weight support: `color_window`
+        # stride-adaptive buckets tile [first, last] significant sample;
+        # bucket weight = exact cumsum difference, bucket color = the row
+        # at the bucket center (same scheme as render_baked_uniform).
+        Wc = color_window
+        sel = w > 1e-4
+        any_sel = jnp.any(sel, axis=1)
+        start = jnp.argmax(sel, axis=1).astype(jnp.int32)         # (N,)
+        last = (S - 1
+                - jnp.argmax(sel[:, ::-1], axis=1).astype(jnp.int32))
+        span = jnp.maximum(last - start + 1, 1)
+        stride = (span + Wc - 1) // Wc                            # (N,)
+        k = jnp.arange(Wc, dtype=jnp.int32)[None, :]
+        b0 = start[:, None] + k * stride[:, None]                 # (N, Wc)
+        b1 = jnp.minimum(b0 + stride[:, None], S)
+        slot_ok = (b0 <= last[:, None]) & any_sel[:, None]
+        cw = jnp.cumsum(w, axis=1)                                # (N, S)
+        hi_w = jnp.take_along_axis(cw, jnp.clip(b1 - 1, 0, S - 1), axis=1)
+        lo_w = jnp.where(b0 > 0,
+                         jnp.take_along_axis(
+                             cw, jnp.clip(b0 - 1, 0, S - 1), axis=1),
+                         0.0)
+        w_slot = (hi_w - lo_w) * slot_ok.astype(w.dtype)
+        jc = jnp.clip(jnp.minimum(b0 + stride[:, None] // 2,
+                                  last[:, None]), 0, S - 1)
+        ii_sel = jnp.take_along_axis(iiNS, jc, axis=1)
+        if rows_q is not None:
+            # quantized occupied-only color path (single-cascade v3,
+            # same layout): narrow voxel->compact index gather + one
+            # 32 B int8 row; empty voxels hit reserved all-zero row 0.
+            rix = row_index[ii_sel.reshape(-1)]
+            fq = rows_q[rix]                                # (M, 32) int8
+            sc = jax.lax.bitcast_convert_type(
+                fq[:, N_CH - 4:], jnp.float32)              # (M,)
+            sh = (fq[:, :27].astype(jnp.float32) * sc[:, None]) \
+                .reshape(N, Wc, 3, N_SH)
+        else:
+            f = rows[ii_sel.reshape(-1)].astype(jnp.float32) \
+                .reshape(N, Wc, N_CH)
+            sh = f[:, :, 1:28].reshape(N, Wc, 3, N_SH)
+        rgb_sel = jnp.maximum(jnp.einsum("nwck,nk->nwc", sh, sh_d), 0.0)
+        rgb = rgb + jnp.sum(w_slot[..., None] * rgb_sel, axis=1)
+
+        still = (1.0 - opacity) > T_threshold
         t_cur = jnp.where(alive, t_next, t_cur)
         alive = alive & still & (t_cur < t2)
         return (t_cur, opacity, depth, rgb, alive, rounds + 1)
@@ -953,7 +1061,9 @@ def render_baked(baked: BakedField, grid_state, rays_o, rays_d, cfg, *,
                 baked.rows, baked.aabb_lo, baked.aabb_hi, ro, rd, k,
                 B=baked.resolution, scale=baked.scale,
                 cascades=baked.cascades, T_threshold=T_threshold,
-                samples_per_round=samples_per_round, t_far=t_far)
+                samples_per_round=samples_per_round, t_far=t_far,
+                sigma=baked.sigma, color_window=color_window,
+                row_index=baked.row_index, rows_q=baked.rows_q)
         else:
             res = render_baked_uniform(
                 baked.rows, baked.aabb_lo, baked.aabb_hi, ro, rd, k,
@@ -1003,7 +1113,9 @@ def baked_frame_device_fn(baked: BakedField, rays_o, rays_d, *,
                     baked.rows, baked.aabb_lo, baked.aabb_hi, ro, rd, key,
                     B=baked.resolution, scale=baked.scale,
                     cascades=baked.cascades, T_threshold=T_threshold,
-                    samples_per_round=samples_per_round)
+                    samples_per_round=samples_per_round,
+                    sigma=baked.sigma, color_window=color_window,
+                    row_index=baked.row_index, rows_q=baked.rows_q)
             else:
                 res = render_baked_uniform(
                     baked.rows, baked.aabb_lo, baked.aabb_hi, ro, rd, key,

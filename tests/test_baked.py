@@ -334,6 +334,80 @@ def test_mc_bake_and_render_matches_oracle():
                           - np.asarray(gt_opa))) < 0.05
 
 
+def test_mc_split_color_path():
+    """The MC renderer's sigma-first split path must reproduce the unsplit
+    MC render: opacity/depth to float tolerance (same weight math, same
+    jitter, per-sample dts), rgb up to the documented w<=1e-4 color drop
+    when the window covers the whole round; window 8 must stay visually
+    identical (the single-cascade guarantee, test_split_color_path)."""
+    from arnerf_tpu.rendering_baked import (bake_field_mc,
+                                            cascade_half_extents,
+                                            render_baked_mc_uniform)
+    SC = 2.0
+    C = 3
+    B = 64
+
+    def field(x, d):
+        return analytic_sigma(x, SC), analytic_rgb(x, SC)
+
+    masks = []
+    for h in cascade_half_extents(C, SC):
+        ax = (np.arange(B, dtype=np.float32) + 0.5) / B * 2 * h - h
+        gx, gy, gz = np.meshgrid(ax, ax, ax, indexing="ij")
+        pts = jnp.asarray(np.stack([gx, gy, gz], -1).reshape(-1, 3))
+        masks.append(np.asarray(analytic_sigma(pts, SC)) > 1e-2)
+    baked = bake_field_mc(field, SC, C, resolution=B, occ_masks=masks,
+                          n_dirs=16)
+    assert baked.sigma is not None and baked.sigma.shape == (C * B ** 3,)
+
+    W = H = 48
+    f = 0.5 * W / np.tan(0.5 * np.deg2rad(45.0))
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
+    dirs = jnp.asarray(get_ray_directions(H, W, K))
+    ro, rd = get_rays(dirs, jnp.asarray(look_at_pose(
+        np.array([0.9, 0.25, 0.75]) * SC * 2.2)))
+    key = jax.random.PRNGKey(7)
+    S = 16
+    kw = dict(B=B, scale=SC, cascades=C, T_threshold=1e-3,
+              samples_per_round=S)
+    exact = render_baked_mc_uniform(baked.rows, baked.aabb_lo, baked.aabb_hi,
+                                    ro, rd, key, color_window=0, **kw)
+    split = render_baked_mc_uniform(baked.rows, baked.aabb_lo, baked.aabb_hi,
+                                    ro, rd, key, sigma=baked.sigma,
+                                    color_window=S, **kw)
+    np.testing.assert_allclose(np.asarray(split["opacity"]),
+                               np.asarray(exact["opacity"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(split["depth"]),
+                               np.asarray(exact["depth"]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(split["rgb"]),
+                               np.asarray(exact["rgb"]), atol=4e-3)
+
+    w8 = render_baked_mc_uniform(baked.rows, baked.aabb_lo, baked.aabb_hi,
+                                 ro, rd, key, sigma=baked.sigma,
+                                 color_window=8, **kw)
+    np.testing.assert_allclose(np.asarray(w8["opacity"]),
+                               np.asarray(exact["opacity"]), atol=1e-5)
+    mse = float(np.mean((np.asarray(w8["rgb"])
+                         - np.asarray(exact["rgb"])) ** 2))
+    psnr = -10 * np.log10(max(mse, 1e-12))
+    assert psnr > 38.0, f"MC window-8 vs exact PSNR {psnr:.1f}"
+
+    # quantized occupied-only color table over the concatenated MC layout:
+    # same weights bit-for-bit (sigma path untouched), color within int8
+    # noise of the dense split render
+    assert baked.rows_q is not None and baked.row_index.shape == \
+        (C * B ** 3,)
+    q8 = render_baked_mc_uniform(baked.rows, baked.aabb_lo, baked.aabb_hi,
+                                 ro, rd, key, sigma=baked.sigma,
+                                 color_window=8, row_index=baked.row_index,
+                                 rows_q=baked.rows_q, **kw)
+    np.testing.assert_allclose(np.asarray(q8["opacity"]),
+                               np.asarray(w8["opacity"]), atol=1e-6)
+    mse = float(np.mean((np.asarray(q8["rgb"]) - np.asarray(w8["rgb"])) ** 2))
+    psnr = -10 * np.log10(max(mse, 1e-12))
+    assert psnr > 38.0, f"MC quantized vs dense split PSNR {psnr:.1f}"
+
+
 def test_sigma_mip_covers_density_and_only_near_density():
     """build_sigma_mip marks exactly the dilated supercells of nonzero-sigma
     voxels, including for B not divisible by 8."""
