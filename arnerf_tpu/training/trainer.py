@@ -84,6 +84,14 @@ class TrainConfig:
     # 8-corner gathers (one cached recompile): stoch speed where dB/step
     # is steep, exact asymptote where it is flat. 1.0 disables.
     stoch_anneal_frac: float = 0.8
+    # adapt/anneal rebuilds recompile the fused block program — 10-11 s
+    # each through the axon remote compiler, several per run (VERDICT r3
+    # weak #3). "auto" = on accelerators, compile the NEW program in a
+    # background thread while training continues on the CURRENT one and
+    # swap at the next block boundary once ready (0 s of stall on the
+    # training clock); on CPU (tests) rebuilds stay synchronous. True /
+    # False force. Single-device path only — mesh runs rebuild in place.
+    async_rebuild: str = "auto"
     s_cap: int = MAX_SAMPLES
     max_samples: int = MAX_SAMPLES
     val_batch_size: int = 1 << 20        # reference opt.py:66-67
@@ -339,7 +347,16 @@ class NeRFTrainer:
 
         self._build_steps()
 
-    def _build_steps(self):
+    def _build_steps(self, allow_async: bool = False):
+        """Rebuild the jitted step/block programs for the current tc/cfg.
+
+        allow_async (adapt/anneal call sites only): when async rebuilds are
+        on, keep executing the CURRENT block program and compile the new one
+        in the background (_spawn_block_precompile). Direct callers (init,
+        scripts, A/B harnesses) get the default synchronous semantics: the
+        next call runs — and therefore lazily compiles — the new program."""
+        # handle on the currently-executing block program for the async path
+        old_block = getattr(self, "_block", None)
         kw = dict(cfg=self.cfg, tc=self.tc, tx=self.tx,
                   exp_step_factor=self.exp_step_factor)
         # train_block_impl derives its per-step seg_cap from tc internally;
@@ -376,6 +393,68 @@ class NeRFTrainer:
             self._step = make_dp_train_step(self.mesh, step_impl, kw)
             self._block = make_dp_train_block(self.mesh, train_block_impl,
                                               kw)
+        # any rebuild supersedes an in-flight async compile (its program
+        # implements an outdated tc/cfg); the generation check in
+        # _maybe_swap_block discards it when it lands
+        self._rebuild_gen = getattr(self, "_rebuild_gen", 0) + 1
+        if (allow_async and old_block is not None and self.mesh is None
+                and self.tc.fuse_grid_update and self._async_rebuild_on()):
+            self._spawn_block_precompile(self._block, self._rebuild_gen)
+            self._block = old_block   # execute the old program until ready
+
+    # -- async rebuild -------------------------------------------------------
+    # A budget/seg-cap/anneal rebuild only changes compiled CONSTANTS (buffer
+    # sizes, corner estimator); the old program stays semantically valid for
+    # the current state pytrees — shapes are identical. So instead of
+    # stalling the next train_block on a 10-11 s remote compile, AOT-compile
+    # the new program from ShapeDtypeStructs in a daemon thread (the host is
+    # idle-waiting on the device/tunnel most of the time) and swap it in at
+    # a block boundary once ready. Generation counter discards compiles that
+    # a newer rebuild superseded.
+
+    def _async_rebuild_on(self) -> bool:
+        ar = getattr(self.tc, "async_rebuild", "auto")
+        if ar == "auto":
+            return jax.default_backend() != "cpu"
+        return bool(ar)
+
+    def _spawn_block_precompile(self, target, gen: int):
+        import threading
+
+        args = (self.params, self.opt_state, self.grid_state, self.images,
+                self.poses, self.directions, self.key)
+        specs = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x),
+                                           jnp.result_type(x)), args)
+
+        def work():
+            try:
+                compiled = target.lower(*specs, warmup=False).compile()
+
+                def fn(*a, warmup=False):
+                    if warmup:            # rare: adapt only fires post-warmup
+                        return target(*a, warmup=True)
+                    return compiled(*a)
+                self._pending_block = (gen, fn)
+            except Exception as e:        # fall back to a lazy (sync) compile
+                print(f"async rebuild precompile failed "
+                      f"({type(e).__name__}: {e}); next block compiles "
+                      "synchronously", flush=True)
+                self._pending_block = (gen, target)
+
+        t = threading.Thread(target=work, daemon=True,
+                             name=f"arnerf-precompile-{gen}")
+        t.start()
+        self._precompile_thread = t
+
+    def _maybe_swap_block(self):
+        p = getattr(self, "_pending_block", None)
+        if p is None:
+            return
+        gen, fn = p
+        self._pending_block = None
+        if gen == getattr(self, "_rebuild_gen", 0):
+            self._block = fn
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -419,6 +498,8 @@ class NeRFTrainer:
         # code) must get production anneal semantics too (idempotent;
         # frac >= 1.0 disables)
         self._maybe_anneal_stoch()
+        # adopt a background-compiled rebuild, if one is ready
+        self._maybe_swap_block()
         self.key, k = jax.random.split(self.key)
         if self.tc.fuse_grid_update or self.mesh is not None:
             if self.mesh is not None:
@@ -506,7 +587,7 @@ class NeRFTrainer:
             grow = min(fit, self._initial_budget)
             if grow > budget:
                 self.tc = _replace(self.tc, samples_per_ray_budget=grow)
-                self._build_steps()
+                self._build_steps(allow_async=True)
                 self._shrink_votes = 0
                 print(f"sample budget {budget} -> {grow} "
                       f"(demand {rm_s:.1f}/ray)", flush=True)
@@ -515,7 +596,7 @@ class NeRFTrainer:
             self._shrink_votes = getattr(self, "_shrink_votes", 0) + 1
             if self._shrink_votes >= patience:
                 self.tc = _replace(self.tc, samples_per_ray_budget=fit)
-                self._build_steps()
+                self._build_steps(allow_async=True)
                 self._shrink_votes = 0
                 print(f"sample budget {budget} -> {fit} "
                       f"(demand {rm_s:.1f}/ray)", flush=True)
@@ -536,7 +617,7 @@ class NeRFTrainer:
             return False
         from dataclasses import replace as _replace
         self.cfg = _replace(self.cfg, stoch_corners=False)
-        self._build_steps()
+        self._build_steps(allow_async=True)
         print(f"stoch corners -> exact at step {self.step} "
               f"(anneal_frac {self.tc.stoch_anneal_frac})", flush=True)
         return True
@@ -574,7 +655,7 @@ class NeRFTrainer:
             grow = min(fit, 64)
             if nseg * 1.1 > cap and grow > cap:
                 self.tc = _replace(self.tc, seg_cap=grow)
-                self._build_steps()
+                self._build_steps(allow_async=True)
                 self._segcap_votes = 0
                 print(f"seg pool {cap} -> {grow}/ray "
                       f"(mean demand {nseg:.1f})", flush=True)
@@ -583,7 +664,7 @@ class NeRFTrainer:
                 self._segcap_votes = getattr(self, "_segcap_votes", 0) + 1
                 if self._segcap_votes >= patience:
                     self.tc = _replace(self.tc, seg_cap=fit)
-                    self._build_steps()
+                    self._build_steps(allow_async=True)
                     self._segcap_votes = 0
                     print(f"seg pool {cap} -> {fit}/ray "
                           f"(mean demand {nseg:.1f})", flush=True)
@@ -593,7 +674,7 @@ class NeRFTrainer:
             return False
         if nseg > 0.75 * cap and cap < 64:
             self.tc = _replace(self.tc, seg_cap=min(64, cap * 2))
-            self._build_steps()
+            self._build_steps(allow_async=True)
             self._segcap_votes = 0
             print(f"seg_cap {cap} -> {self.tc.seg_cap} "
                   f"(demand {nseg:.0f})", flush=True)
@@ -603,7 +684,7 @@ class NeRFTrainer:
             self._segcap_votes = getattr(self, "_segcap_votes", 0) + 1
             if self._segcap_votes >= patience:
                 self.tc = _replace(self.tc, seg_cap=half)
-                self._build_steps()
+                self._build_steps(allow_async=True)
                 self._segcap_votes = 0
                 print(f"seg_cap {cap} -> {half} (demand {nseg:.0f})",
                       flush=True)

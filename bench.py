@@ -466,6 +466,7 @@ def main():
     fps_baked_device = 0.0
     bake_s = 0.0
     bake_occ_frac = 0.0
+    bake_occ_frac_baked = 0.0
     try:
         from arnerf_tpu.rendering_baked import (bake_ngp, render_baked,
                                                 baked_frame_device_fn)
@@ -483,6 +484,12 @@ def main():
                          resolution=_arg("--bake_res", 256), n_dirs=16)
         _sync(baked.rows)
         bake_s = time.time() - t0
+        # post-dilation occupied fraction AT BAKE RESOLUTION — the actual
+        # voxel count driving bake_s (the raw training-grid fraction above
+        # predates the resample+dilate and only loosely tracks it)
+        bake_occ_frac_baked = float(
+            (np.asarray(baked.sigma) > 0).mean()) if baked.sigma is not None \
+            else 0.0
         res = render_baked(baked, trainer.grid_state,
                            rays_o, rays_d, cfg, T_threshold=1e-2,
                            img_wh=(800, 800))  # warm
@@ -595,6 +602,7 @@ def main():
             "baked_object_psnr": round(obj_psnr, 2),
             "bake_s": round(bake_s, 1),
             "bake_occ_frac": round(bake_occ_frac, 4),
+            "bake_occ_frac_baked": round(bake_occ_frac_baked, 4),
             "val_psnr_after_bench_steps": round(val["psnr"], 2),
             "train_psnr": round(float(m.get("psnr", 0.0)), 2),
             "data_gen_s": round(data_s, 1),
