@@ -216,8 +216,13 @@ def _encode_bwd(cfg, res, gout):
         for f in range(F))
     local = jnp.transpose(flat - offsets[None, :, None],
                           (1, 0, 2)).reshape(L, n * 8)
-    d_table = dense_segment_sum_batched(local, upd_cols,
-                                        cfg.level_sizes).astype(table.dtype)
+    # pack=False: the w*g products are genuinely f32 (trilinear weights);
+    # the exact path exists for final-quality polish (anneal finish,
+    # --optimize_ext), so its updates stay unquantized. Sorts are still
+    # unstable (update order within a row only permutes the fp32 cumsum,
+    # ~1e-4 relative — the module-docstring error class).
+    d_table = dense_segment_sum_batched(local, upd_cols, cfg.level_sizes,
+                                        pack=False).astype(table.dtype)
 
     # --- x cotangent: d out / d frac via per-dim weight products
     feats = _table_fetch(table, flat.reshape(-1), cfg).reshape(
@@ -323,6 +328,11 @@ def _encode_stoch_bwd(cfg, res, gout):
     g = gout.reshape(n, L, F).astype(jnp.float32)
     local = jnp.transpose(flat - offsets[None, :], (1, 0))       # (L, N)
     upd_cols = tuple(jnp.transpose(g[:, :, f], (1, 0)) for f in range(F))
+    # pack=True (default): these update values are raw upstream cotangents
+    # that already lived in compute_dtype (bf16 in production), so the
+    # bf16 sort-lane packing is near-lossless here; 3 sort operands -> 2
+    # (measured 87 -> 58 ms at the b32 training shape,
+    # scripts/tpu_step_anatomy_r4.py).
     d_table = dense_segment_sum_batched(local, upd_cols,
                                         cfg.level_sizes).astype(table.dtype)
     d_x = jnp.zeros_like(x)   # piecewise-constant in x; see module note

@@ -90,6 +90,17 @@ class BakedField(NamedTuple):
     # outer cascades are dead. cascades == 1 keeps every single-cascade
     # path bit-identical (this field is aux, like resolution/scale).
     cascades: int = 1
+    # Chebyshev distance transform of `mip` (same (Bc^3,) layout, uint8):
+    # 0 = dilated-occupied supercell, k = max-norm supercell distance to
+    # the nearest one. Enables the DISTANCE-STEPPING prelude (round 4):
+    # instead of probing the mip at a fixed 1-supercell stride (~113
+    # probes/ray over the box diagonal at 256^3 — the measured 130-150 ms
+    # frame floor, DESIGN.md "frame anatomy"), each probe advances
+    # max(D-1, 1) supercells — provably empty space is skipped at the
+    # distance field's rate, and empty-scene rays resolve in O(log)
+    # probes (sphere tracing on the occupancy grid). None falls back to
+    # the fixed-stride prelude.
+    mip_dist: jnp.ndarray = None
 
     # NamedTuple keeps this a pytree; resolution/scale ride as aux via the
     # static argnums of the jitted entry points (callers pass them split).
@@ -121,6 +132,36 @@ def build_sigma_mip(rows_sigma, B: int):
             for dz in (0, 1, 2):
                 d = d | p[dx:dx + Bc, dy:dy + Bc, dz:dz + Bc]
     return d.reshape(-1).astype(jnp.uint8)
+
+
+def build_mip_dist(mip, Bc: int):
+    """Chebyshev (max-norm) distance transform of the dilated coarse
+    occupancy mip: out[c] = 0 where mip[c] > 0, else the supercell
+    distance to the nearest dilated-occupied supercell (clipped to 255;
+    an empty field reads Bc everywhere). Pure jnp — runs on device at
+    bake time (Bc-1 relaxation passes of a 3^3 min-filter; Bc = 32 at a
+    256^3 bake, microseconds of VPU work on a 32 KB grid).
+
+    The renderer's distance-stepping prelude advances max(D-1, 1)
+    supercells per probe: from max-norm distance D, a unit-direction ray
+    must travel at least (D-1) supercell widths before entering any
+    occupied supercell (each world step of w_c moves at most one cell
+    per axis), so the skip is conservative; within D <= 1 it degrades to
+    the fixed-stride march whose slack the mip's 1-supercell dilation
+    already absorbs."""
+    occ = jnp.asarray(mip).reshape(Bc, Bc, Bc) > 0
+    # f32 with a +inf init: the min-identity init makes reduce_window's
+    # padding static (an int init trips a traced identity check), and
+    # inf + 1 stays inf at the borders
+    d = jnp.where(occ, 0.0, float(Bc)).astype(jnp.float32)
+
+    def relax(_, d):
+        m = jax.lax.reduce_window(d, jnp.inf, jax.lax.min,
+                                  (3, 3, 3), (1, 1, 1), "SAME")
+        return jnp.minimum(d, m + 1.0)
+
+    d = jax.lax.fori_loop(0, Bc - 1, relax, d)
+    return jnp.clip(d, 0, 255).reshape(-1).astype(jnp.uint8)
 
 
 def fibonacci_sphere(n: int) -> np.ndarray:
@@ -225,9 +266,10 @@ def bake_field(field_fn, scale: float, resolution: int = 256,
             his.append((last.astype(jnp.float32) + 1) * vox - scale + vox)
         aabb_lo = jnp.where(any_occ, jnp.stack(los), jnp.full(3, -scale))
         aabb_hi = jnp.where(any_occ, jnp.stack(his), jnp.full(3, scale))
-        return (rows.astype(dtype), aabb_lo, aabb_hi,
-                build_sigma_mip(rows[:, 0], B),
-                rows[:, 0].astype(jnp.float32))
+        mip = build_sigma_mip(rows[:, 0], B)
+        return (rows.astype(dtype), aabb_lo, aabb_hi, mip,
+                rows[:, 0].astype(jnp.float32),
+                build_mip_dist(mip, -(-B // MIP_FACTOR)))
 
     rows = jnp.zeros((B ** 3, N_CH), jnp.float32)
     # pad the voxel list to a chunk multiple: ONE compiled program serves
@@ -246,13 +288,14 @@ def bake_field(field_fn, scale: float, resolution: int = 256,
         rows = bake_chunk(rows, jnp.asarray(centers[i:i + chunk]),
                           jnp.asarray(occ_idx[i:i + chunk], jnp.int32),
                           jnp.uint32(ci))
-    rows, aabb_lo, aabb_hi, mip, sigma = finalize(rows)
+    rows, aabb_lo, aabb_hi, mip, sigma, mip_dist = finalize(rows)
     row_index = rows_q = None
     if quantize_colors and V:
         rows_q, row_index = quantize_color_table(rows, occ_idx[:V], B ** 3)
     return BakedField(rows=rows, resolution=B, scale=scale,
                       aabb_lo=aabb_lo, aabb_hi=aabb_hi, mip=mip,
-                      sigma=sigma, row_index=row_index, rows_q=rows_q)
+                      sigma=sigma, row_index=row_index, rows_q=rows_q,
+                      mip_dist=mip_dist)
 
 
 def quantize_color_table(rows, occ_idx_np, n_rows_total: int):
@@ -267,7 +310,7 @@ def quantize_color_table(rows, occ_idx_np, n_rows_total: int):
     # would embed as a program constant, which the axon remote
     # compiler rejects at this size (HTTP 413; round-2 rule — same
     # reason bake_field's bake_chunk takes idx as an argument).
-    @partial(jax.jit, static_argnames=())
+    @jax.jit
     def build_quant(rows, occ_j):
         sh = rows[occ_j, 1:28].astype(jnp.float32)        # (V, 27)
         sc = jnp.max(jnp.abs(sh), axis=1) / 127.0         # (V,)
@@ -295,7 +338,8 @@ def cascade_half_extents(cascades: int, scale: float):
 
 def bake_field_mc(field_fn, scale: float, cascades: int,
                   resolution: int = 128, occ_masks=None,
-                  quantize_colors: bool = True, **bake_kw):
+                  quantize_colors: bool = True,
+                  keep_dense_rows: bool = True, **bake_kw):
     """Multi-cascade bake: one B^3 SH grid per nested cascade cube,
     concatenated into a single (C*B^3, 32) table (BakedField.cascades).
 
@@ -307,10 +351,17 @@ def bake_field_mc(field_fn, scale: float, cascades: int,
     quantize_colors (needs occ_masks — the occupied list must come from
     the host-side masks, not from fetching C*B^3 sigmas back through the
     tunnel): occupied-only int8 color table over the CONCATENATED layout,
-    which is what makes the MC split renderer's color fetches viable at
+    which is what makes the MC split renderer's color FETCHES viable at
     production resolution — the dense (C*B^3, 32) f32 table is ~6.3 GB at
-    256^3 x 3 cascades, far past the ~128 MB gather cliff (and a real HBM
-    liability); the compact table is occupancy-sized."""
+    256^3 x 3 cascades, far past the ~128 MB gather cliff. Note this
+    fixes gather BANDWIDTH, not HBM residency: the dense table is still
+    built (and kept unless keep_dense_rows=False).
+
+    keep_dense_rows=False drops the dense table after quantization (rows
+    becomes a 1-row placeholder): the split renderer never reads it when
+    rows_q exists, and at production resolution the dense table IS the
+    HBM liability. Requires a successful quantization (occ_masks given);
+    the unsplit/debug render paths stop working on such a field."""
     B = resolution
     halves = cascade_half_extents(cascades, scale)
     parts = []
@@ -330,6 +381,8 @@ def bake_field_mc(field_fn, scale: float, cascades: int,
         if len(occ_idx):
             rows_q, row_index = quantize_color_table(
                 rows, occ_idx, cascades * B ** 3)
+    if not keep_dense_rows and rows_q is not None:
+        rows = jnp.zeros((1, N_CH), rows.dtype)
     return BakedField(rows=rows, resolution=B, scale=scale,
                       aabb_lo=aabb_lo, aabb_hi=aabb_hi, sigma=sigma,
                       cascades=cascades, row_index=row_index, rows_q=rows_q)
@@ -386,7 +439,13 @@ def render_baked_mc_uniform(rows, aabb_lo, aabb_hi, rays_o, rays_d, key, *,
     ray's weight support. Weight mass is exact for any span (cumsum
     differences); only color is box-averaged when the support exceeds
     the window. opacity/depth match the unsplit path to float tolerance
-    (pinned by tests/test_baked.py::test_mc_split_color_path).
+    (pinned by tests/test_baked.py::test_mc_split_color_path). Note the
+    rgb and opacity sample SETS differ slightly: samples with w <= 1e-4
+    outside [first, last] contribute to opacity/depth but not rgb, and
+    sub-threshold tail samples inside the final bucket take the bucket-
+    center color — an accepted approximation (pinned to atol=4e-3 /
+    >38 dB); if baked output is ever alpha-composited downstream, the
+    rgb/opacity asymmetry is the term to re-check.
 
     Still no coarse-mip prelude or survivor compaction on this path
     (future work); early termination exits saturated rays between
@@ -522,6 +581,131 @@ def render_baked_mc_uniform(rows, aabb_lo, aabb_hi, rays_o, rays_d, key, *,
             "n_prelude_alive": jnp.sum(alive0.astype(jnp.int32))}
 
 
+def _prelude_dist(mip_dist, roc, rdc, t1c, t2c, B: int, scale: float,
+                  Sc: int = 8, compact: bool = True):
+    """Distance-stepping coarse prelude: per ray, the first and last
+    dilated-occupied supercell probes along [t1c, t2c].
+
+    Replaces the fixed-stride ladder (Kc ~= 113 probes/ray at 256^3) with
+    sphere tracing on the mip's Chebyshev distance transform: a FORWARD
+    march finds the first occupied probe, a simultaneous BACKWARD march
+    from the box exit finds the last — each stops at its first hit, so
+    neither traverses the occupied interior, and empty space is crossed
+    at max(D-1, 1) supercells per probe. Rays march in lockstep rounds of
+    `Sc` probes; since one grazing ray (D ~= 1 along its whole length)
+    would otherwise price the bucket at the stride-1 worst case, the loop
+    compacts unresolved rays to N/4 and N/16 alive-first prefixes between
+    rounds (same argsort+gather machinery as the fine loop's phases).
+
+    Conservativeness: identical slack budget to the stride-1 ladder. Near
+    occupancy D <= 1 forces 1-supercell probe spacing, and the skip bound
+    is the max-norm argument in build_mip_dist; the caller applies the
+    same 1.5-supercell margins (half-spacing + block4 divergence +
+    trilerp jitter < 1-supercell dilation).
+
+    Returns (any_occ, first_t, last_t) in world units, first/last being
+    PROBE positions (margins are the caller's)."""
+    F = MIP_FACTOR
+    Bc = -(-B // F)
+    wd = F * 2.0 * scale / B
+    Nc = roc.shape[0]
+    BIG = jnp.float32(1e30)
+    # stride-1 worst case bounds the while loops (a probe advances >= wd)
+    K_max = int(np.ceil(2 * np.sqrt(3.0) * scale / wd)) + 2
+    hard_rounds = -(-K_max // Sc) + 1
+
+    def cells(p):
+        ids = [jnp.clip(jnp.floor((p[:, d] + scale) / (2 * scale) * B),
+                        0, B - 1).astype(jnp.int32) // F for d in range(3)]
+        return (ids[0] * Bc + ids[1]) * Bc + ids[2]
+
+    def make_phase(ro_p, rd_p, t1p, t2p, next_n):
+        def cond(carry):
+            *_, done_f, done_b, rounds = carry
+            undone = jnp.sum((~(done_f & done_b)).astype(jnp.int32))
+            go = (undone > 0) & (rounds < hard_rounds)
+            if next_n:
+                go = go & (undone > next_n)
+            return go
+
+        def body(carry):
+            tf, tb, first, last, done_f, done_b, rounds = carry
+
+            def probe(cc, _):
+                tf, tb, first, last, done_f, done_b = cc
+                Df = mip_dist[cells(ro_p + tf[:, None] * rd_p)] \
+                    .astype(jnp.float32)
+                hit_f = (Df == 0.0) & ~done_f
+                first = jnp.where(hit_f, jnp.minimum(first, tf), first)
+                done_f = done_f | hit_f
+                tf = jnp.where(done_f, tf,
+                               tf + jnp.maximum(Df - 1.0, 1.0) * wd)
+                done_f = done_f | (tf >= t2p)
+                Db = mip_dist[cells(ro_p + tb[:, None] * rd_p)] \
+                    .astype(jnp.float32)
+                hit_b = (Db == 0.0) & ~done_b
+                last = jnp.where(hit_b, jnp.maximum(last, tb), last)
+                done_b = done_b | hit_b
+                tb = jnp.where(done_b, tb,
+                               tb - jnp.maximum(Db - 1.0, 1.0) * wd)
+                done_b = done_b | (tb <= t1p)
+                return (tf, tb, first, last, done_f, done_b), None
+
+            (tf, tb, first, last, done_f, done_b), _ = jax.lax.scan(
+                probe, (tf, tb, first, last, done_f, done_b),
+                None, length=Sc)
+            return (tf, tb, first, last, done_f, done_b, rounds + 1)
+
+        return cond, body
+
+    tf0 = t1c + 0.5 * wd
+    tb0 = t2c - 0.5 * wd
+    state = (tf0, tb0, jnp.full((Nc,), BIG), jnp.full((Nc,), -BIG),
+             tf0 >= t2c, tb0 <= t1c, jnp.int32(0))
+
+    sizes = [Nc]
+    if compact:
+        while len(sizes) < 3 and sizes[-1] // 4 >= 2048:
+            sizes.append(sizes[-1] // 4)
+
+    ro_p, rd_p, t1p, t2p = roc, rdc, t1c, t2c
+    perms, tails = [], []
+    for pi, Np in enumerate(sizes):
+        next_n = sizes[pi + 1] if pi + 1 < len(sizes) else 0
+        cond, body = make_phase(ro_p, rd_p, t1p, t2p, next_n)
+        state = jax.lax.while_loop(cond, body, state)
+        if next_n:
+            tf, tb, first, last, done_f, done_b, rn = state
+            done = done_f & done_b
+            perm = jnp.argsort(
+                jnp.where(done, Np, 0) + jnp.arange(Np, dtype=jnp.int32))
+            tf, tb = tf[perm], tb[perm]
+            first, last = first[perm], last[perm]
+            done_f, done_b = done_f[perm], done_b[perm]
+            ro_p, rd_p = ro_p[perm], rd_p[perm]
+            t1p, t2p = t1p[perm], t2p[perm]
+            perms.append(perm)
+            tails.append((first[next_n:], last[next_n:]))
+            state = (tf[:next_n], tb[:next_n], first[:next_n],
+                     last[:next_n], done_f[:next_n], done_b[:next_n], rn)
+            ro_p, rd_p = ro_p[:next_n], rd_p[:next_n]
+            t1p, t2p = t1p[:next_n], t2p[:next_n]
+
+    first, last = state[2], state[3]
+    for perm, (tfirst, tlast) in zip(reversed(perms), reversed(tails)):
+        first = jnp.concatenate([first, tfirst])
+        last = jnp.concatenate([last, tlast])
+        inv = jnp.argsort(perm)
+        first, last = first[inv], last[inv]
+
+    # one-sided hits (a degenerate sliver resolved by only one march):
+    # symmetrize so the interval is still well-formed
+    f2 = jnp.minimum(first, jnp.where(last > -BIG / 2, last, BIG))
+    l2 = jnp.maximum(last, jnp.where(first < BIG / 2, first, -BIG))
+    any_occ = f2 < BIG / 2
+    return any_occ, f2, l2
+
+
 def sample_baked(rows, xyz, sh_d, B: int, scale: float,
                  interp: str, jitter=None):
     """Evaluate the baked field. sh_d: precomputed sh9_basis(dirs) (N, 9).
@@ -582,7 +766,8 @@ def render_baked_uniform(rows, aabb_lo, aabb_hi, rays_o, rays_d, key, *,
                          max_rounds: int = 0, return_state: bool = False,
                          mip=None, compact: bool = True, sigma=None,
                          color_window: int = 8, block4: bool = False,
-                         row_index=None, rows_q=None, t_far=None):
+                         row_index=None, rows_q=None, t_far=None,
+                         mip_dist=None):
     """Uniform-stepping baked render chunk: one compiled program per bucket,
     no host round-trips.
 
@@ -680,7 +865,7 @@ def render_baked_uniform(rows, aabb_lo, aabb_hi, rays_o, rays_d, key, *,
     sh_d = sh9_basis(rays_d)                                  # (N, 9)
 
     t_end = t2
-    if mip is not None and init_state is None:
+    if (mip is not None or mip_dist is not None) and init_state is None:
         F = MIP_FACTOR
         Bc = -(-B // F)
         w_c = F * 2 * scale / B                    # supercell world width
@@ -717,27 +902,40 @@ def render_baked_uniform(rows, aabb_lo, aabb_hi, rays_o, rays_d, key, *,
         else:
             roc, rdc, t1c, t2c = rays_o, rays_d, t1, t2
             step_c = 2 * w_c
-        # static worst-case step count: full-cube diagonal (coarse samples
-        # beyond each ray's t2 are masked)
-        Kc = int(np.ceil(2 * np.sqrt(3.0) * scale / step_c)) + 2
-        t_c = t1c[:, None] + (jnp.arange(Kc) + 0.5) * step_c   # (Nc, Kc)
-        occ_parts = []
-        for d in range(3):
-            p_d = roc[:, d:d + 1] + t_c * rdc[:, d:d + 1]
-            f_d = jnp.clip(jnp.floor((p_d + scale) / (2 * scale) * B),
-                           0, B - 1).astype(jnp.int32) // F
-            occ_parts.append(f_d)
-        cix = (occ_parts[0] * Bc + occ_parts[1]) * Bc + occ_parts[2]
-        occ_c = (mip[cix] > 0) & (t_c < t2c[:, None])          # (Nc, Kc)
-        any_occ = jnp.any(occ_c, axis=1)
-        first_k = jnp.argmax(occ_c, axis=1)
-        last_k = Kc - 1 - jnp.argmax(occ_c[:, ::-1], axis=1)
-        # margins of 1.5 supercells around the first/last marked sample
-        # centers cover the half-spacing/divergence slack + trilerp jitter
-        t_start = t1c + (first_k + 0.5).astype(jnp.float32) * step_c \
-            - 1.5 * w_c
-        t_end = t1c + (last_k + 0.5).astype(jnp.float32) * step_c \
-            + 1.5 * w_c
+        if mip_dist is not None:
+            # distance-stepping prelude (round 4): sphere-trace the mip's
+            # Chebyshev distance field forward (first hit) and backward
+            # (last hit) with unresolved-ray compaction — empty space costs
+            # O(few) probes instead of the fixed-stride Kc (~113 at 256^3).
+            # Probe spacing near occupancy is 1 supercell (tighter than the
+            # non-block4 ladder's stride 2), so the same margins hold.
+            any_occ, first_t, last_t = _prelude_dist(
+                mip_dist, roc, rdc, t1c, t2c, B, scale, compact=compact)
+            t_start = first_t - 1.5 * w_c
+            t_end = last_t + 1.5 * w_c
+        else:
+            # fixed-stride ladder (kept for BakedFields without mip_dist)
+            # static worst-case step count: full-cube diagonal (coarse
+            # samples beyond each ray's t2 are masked)
+            Kc = int(np.ceil(2 * np.sqrt(3.0) * scale / step_c)) + 2
+            t_c = t1c[:, None] + (jnp.arange(Kc) + 0.5) * step_c  # (Nc, Kc)
+            occ_parts = []
+            for d in range(3):
+                p_d = roc[:, d:d + 1] + t_c * rdc[:, d:d + 1]
+                f_d = jnp.clip(jnp.floor((p_d + scale) / (2 * scale) * B),
+                               0, B - 1).astype(jnp.int32) // F
+                occ_parts.append(f_d)
+            cix = (occ_parts[0] * Bc + occ_parts[1]) * Bc + occ_parts[2]
+            occ_c = (mip[cix] > 0) & (t_c < t2c[:, None])      # (Nc, Kc)
+            any_occ = jnp.any(occ_c, axis=1)
+            first_k = jnp.argmax(occ_c, axis=1)
+            last_k = Kc - 1 - jnp.argmax(occ_c[:, ::-1], axis=1)
+            # margins of 1.5 supercells around the first/last marked sample
+            # centers cover the half-spacing/divergence slack + jitter
+            t_start = t1c + (first_k + 0.5).astype(jnp.float32) * step_c \
+                - 1.5 * w_c
+            t_end = t1c + (last_k + 0.5).astype(jnp.float32) * step_c \
+                + 1.5 * w_c
         if block4:
             # broadcast the block window to its 4 member rays (absolute t:
             # the rays are near-parallel, so the support interval is shared)
@@ -864,7 +1062,7 @@ def render_baked_uniform(rows, aabb_lo, aabb_hi, rays_o, rays_d, key, *,
 
     if init_state is None:
         alive0 = (hits[:, 0] > -0.5) & (t2 > t1)
-        if mip is not None:
+        if mip is not None or mip_dist is not None:
             alive0 = alive0 & any_occ
             t0v = jnp.where(alive0, t_start, t2 + 1.0)
         else:
@@ -1071,7 +1269,8 @@ def render_baked(baked: BakedField, grid_state, rays_o, rays_d, cfg, *,
                 T_threshold=T_threshold, n_steps=n_steps,
                 samples_per_round=samples_per_round, mip=baked.mip,
                 sigma=baked.sigma, color_window=color_window, block4=blocked,
-                row_index=baked.row_index, rows_q=baked.rows_q, t_far=t_far)
+                row_index=baked.row_index, rows_q=baked.rows_q, t_far=t_far,
+                mip_dist=getattr(baked, "mip_dist", None))
         opacity[sl] = np.asarray(res["opacity"])[:n]
         depth[sl] = np.asarray(res["depth"])[:n]
         rgb[sl] = np.asarray(res["rgb"])[:n]
@@ -1124,7 +1323,8 @@ def baked_frame_device_fn(baked: BakedField, rays_o, rays_d, *,
                     samples_per_round=samples_per_round, mip=baked.mip,
                     sigma=baked.sigma, color_window=color_window,
                     block4=blocked,
-                    row_index=baked.row_index, rows_q=baked.rows_q)
+                    row_index=baked.row_index, rows_q=baked.rows_q,
+                    mip_dist=getattr(baked, "mip_dist", None))
             outs.append(res["rgb"])
         return reduce_fn(outs) if outs else jnp.float32(0.0)
 

@@ -706,3 +706,171 @@ def test_bake_analytic_object_field_matches_oracle():
     mse = float(np.mean((pred - np.asarray(gt)) ** 2))
     psnr = -10 * np.log10(mse)
     assert psnr > 24.0, f"object-only baked vs oracle PSNR {psnr:.2f}"
+
+
+def test_mip_dist_is_chebyshev_distance():
+    """build_mip_dist = exact Chebyshev distance transform of the dilated
+    occupancy mip (0 on occupied supercells)."""
+    from arnerf_tpu.rendering_baked import (build_sigma_mip, build_mip_dist,
+                                            MIP_FACTOR)
+    B = 40                                        # Bc = 5
+    Bc = -(-B // MIP_FACTOR)
+    rng = np.random.default_rng(7)
+    sig = (rng.random((B, B, B)) < 0.002).astype(np.float32)
+    mip = np.asarray(build_sigma_mip(sig.reshape(-1), B)).reshape(Bc, Bc, Bc)
+    dist = np.asarray(build_mip_dist(jnp.asarray(mip.reshape(-1)), Bc)) \
+        .reshape(Bc, Bc, Bc)
+    occ = np.argwhere(mip > 0)
+    assert len(occ), "fixture needs occupancy"
+    grid = np.stack(np.meshgrid(*[np.arange(Bc)] * 3, indexing="ij"), -1)
+    bf = np.min(np.max(np.abs(grid[..., None, :] - occ[None, None, None]),
+                       axis=-1), axis=-1)
+    np.testing.assert_array_equal(dist, np.minimum(bf, 255))
+    # empty field: distance saturates at Bc everywhere (no false hits)
+    d0 = np.asarray(build_mip_dist(jnp.zeros(Bc ** 3, jnp.uint8), Bc))
+    assert (d0 == Bc).all()
+
+
+def test_dist_prelude_interval_covers_fine_density():
+    """The distance-stepping prelude's window (with the renderer's 1.5-
+    supercell margins) must contain every fine voxel with sigma > 0 along
+    each ray, and kill exactly the rays whose path holds no dilated
+    occupancy — the same contract the fixed-stride ladder satisfies."""
+    from arnerf_tpu.rendering_baked import (build_sigma_mip, build_mip_dist,
+                                            _prelude_dist, MIP_FACTOR)
+    B = 64
+    Bc = -(-B // MIP_FACTOR)
+    w_c = MIP_FACTOR * 2 * SCALE / B
+    rng = np.random.default_rng(11)
+    # a few random occupied blobs
+    sig = np.zeros((B, B, B), np.float32)
+    for _ in range(6):
+        c = rng.integers(4, B - 4, size=3)
+        sig[c[0] - 2:c[0] + 2, c[1] - 2:c[1] + 2, c[2] - 2:c[2] + 2] = 5.0
+    mip = build_sigma_mip(jnp.asarray(sig.reshape(-1)), B)
+    dist = build_mip_dist(mip, Bc)
+
+    n = 4096
+    ro = rng.normal(size=(n, 3)).astype(np.float32)
+    ro = ro / np.linalg.norm(ro, axis=1, keepdims=True) * 1.6
+    tgt = rng.uniform(-SCALE, SCALE, size=(n, 3)).astype(np.float32)
+    rd = tgt - ro
+    rd = rd / np.linalg.norm(rd, axis=1, keepdims=True)
+    # box clip
+    with np.errstate(divide="ignore"):
+        inv = 1.0 / rd
+    ta = (-SCALE - ro) * inv
+    tb = (SCALE - ro) * inv
+    t1 = np.maximum(np.minimum(ta, tb).max(axis=1), 0.0).astype(np.float32)
+    t2 = np.maximum(ta, tb).min(axis=1).astype(np.float32)
+    hit = t2 > t1
+
+    any_occ, first, last = jax.jit(
+        lambda d, ro, rd, t1, t2: _prelude_dist(d, ro, rd, t1, t2, B, SCALE)
+    )(dist, jnp.asarray(ro), jnp.asarray(rd), jnp.asarray(t1),
+      jnp.asarray(t2))
+    any_occ = np.asarray(any_occ) & hit
+    t_start = np.asarray(first) - 1.5 * w_c
+    t_end = np.asarray(last) + 1.5 * w_c
+
+    # brute force: fine sampling of sigma along each ray
+    ts = np.linspace(0, 1, 1024, dtype=np.float32)
+    tt = t1[:, None] + (t2 - t1)[:, None] * ts[None, :]
+    pos = ro[:, None, :] + tt[..., None] * rd[:, None, :]
+    ij = np.clip(((pos + SCALE) / (2 * SCALE) * B).astype(np.int64),
+                 0, B - 1)
+    s = sig[ij[..., 0], ij[..., 1], ij[..., 2]]
+    s = np.where((tt < t2[:, None]) & hit[:, None], s, 0.0)
+    bf_any = (s > 0).any(axis=1)
+    assert not (bf_any & ~any_occ).any(), "prelude killed a density ray"
+    rows = np.where(bf_any)[0]
+    bf_first = tt[rows, np.argmax(s[rows] > 0, axis=1)]
+    bf_last = tt[rows, s.shape[1] - 1
+                 - np.argmax(s[rows, ::-1] > 0, axis=1)]
+    assert (t_start[rows] <= bf_first + 1e-5).all()
+    assert (t_end[rows] >= bf_last - 1e-5).all()
+
+
+def test_dist_prelude_matches_ladder_render():
+    """Rendering with the distance-stepping prelude must match both the
+    fixed-stride-ladder prelude and the mip-less full march (trilinear:
+    deterministic sampling, windows only move where provably empty)."""
+    from arnerf_tpu.rendering_baked import (render_baked_uniform,
+                                            build_sigma_mip, build_mip_dist,
+                                            MIP_FACTOR)
+    B = 32
+    rows = np.zeros((B ** 3, N_CH), np.float32)
+    ax = (np.arange(B) + 0.5) / B * 2 * SCALE - SCALE
+    X, Y, Z = np.meshgrid(ax, ax, ax, indexing="ij")
+    ball = (X ** 2 + Y ** 2 + Z ** 2) < 0.15 ** 2
+    rows[ball.reshape(-1), 0] = 20.0
+    rows[ball.reshape(-1), 1] = 1.5
+    mip = build_sigma_mip(jnp.asarray(rows[:, 0]), B)
+    dist = build_mip_dist(mip, -(-B // MIP_FACTOR))
+    rows_j = jnp.asarray(rows)
+    lo = jnp.full(3, -SCALE)
+    hi = jnp.full(3, SCALE)
+    n = 64
+    ro = np.tile([[0.0, 0.0, -1.2]], (n, 1)).astype(np.float32)
+    th = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    tgt = np.stack([0.35 * np.cos(th), 0.35 * np.sin(th),
+                    np.zeros(n)], -1).astype(np.float32)
+    rd = tgt - ro
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    kw = dict(B=B, scale=SCALE, interp="trilinear", n_steps=128,
+              samples_per_round=16)
+    key = jax.random.PRNGKey(0)
+    flat = render_baked_uniform(rows_j, lo, hi, jnp.asarray(ro),
+                                jnp.asarray(rd), key, **kw)
+    ladder = render_baked_uniform(rows_j, lo, hi, jnp.asarray(ro),
+                                  jnp.asarray(rd), key, mip=mip, **kw)
+    distp = render_baked_uniform(rows_j, lo, hi, jnp.asarray(ro),
+                                 jnp.asarray(rd), key, mip=mip,
+                                 mip_dist=dist, **kw)
+    for ref in (flat, ladder):
+        np.testing.assert_allclose(np.asarray(distp["rgb"]),
+                                   np.asarray(ref["rgb"]), atol=2e-3)
+        np.testing.assert_allclose(np.asarray(distp["opacity"]),
+                                   np.asarray(ref["opacity"]), atol=2e-3)
+
+
+def test_bake_field_ships_mip_dist_and_full_renderer_uses_it():
+    """bake_field emits mip_dist and the production render_baked path
+    stays oracle-accurate with the distance prelude active (block4 +
+    split + quantized color all composed)."""
+    B = 48
+    baked = bake_field(analytic_field, SCALE, resolution=B, n_dirs=16,
+                       dtype=jnp.float32)
+    assert baked.mip_dist is not None
+    Bc = -(-B // 8)
+    d = np.asarray(baked.mip_dist)
+    assert d.shape == (Bc ** 3,)
+    assert ((d == 0) == (np.asarray(baked.mip) > 0)).all()
+
+    cfg = NGPConfig(scale=SCALE, grid_size=64)
+    gs = make_grid_state(cfg)
+    W = H = 64
+    f = 0.5 * W / np.tan(0.5 * np.deg2rad(45.0))
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
+    dirs = jnp.asarray(get_ray_directions(H, W, K))
+    ro, rd = get_rays(dirs, jnp.asarray(look_at_pose(
+        np.array([0.9, 0.25, 0.75]))))
+    out = render_baked(baked, gs, ro, rd, cfg, key=jax.random.PRNGKey(2),
+                       T_threshold=1e-3, img_wh=(W, H))
+    # the distance prelude must not change the image vs the ladder prelude
+    # (same windows wherever the ladder found occupancy; the margins make
+    # discretization differences invisible at the fine step)
+    ref = render_baked(baked._replace(mip_dist=None), gs, ro, rd, cfg,
+                       key=jax.random.PRNGKey(2), T_threshold=1e-3,
+                       img_wh=(W, H))
+    np.testing.assert_allclose(np.asarray(out["rgb"]),
+                               np.asarray(ref["rgb"]), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out["opacity"]),
+                               np.asarray(ref["opacity"]), atol=2e-3)
+    # and stays anchored to the analytic oracle (48^3 bake, raw volume rgb)
+    rdn = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    gt_rgb, gt_op, _ = render_analytic(ro, rdn, SCALE, n_samples=512,
+                                       white_bg=False)
+    mse = float(jnp.mean((out["rgb"] - gt_rgb) ** 2))
+    psnr = -10 * np.log10(max(mse, 1e-12))
+    assert psnr > 22.0, f"dist-prelude full path vs oracle: {psnr:.1f} dB"

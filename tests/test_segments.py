@@ -85,11 +85,52 @@ def test_batched_segment_sum_matches_scatter():
                      for l in range(L)])
     vals = jax.random.normal(k, (L, M, F), jnp.float32)
     cols = tuple(vals[:, :, j] for j in range(F))
-    a = dense_segment_sum_batched(idx, cols, sizes, method="sort")
+    a = dense_segment_sum_batched(idx, cols, sizes, method="sort",
+                                  pack=False)
     b = dense_segment_sum_batched(idx, cols, sizes, method="scatter")
     assert a.shape == (sum(sizes), F)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                atol=2e-3, rtol=1e-4)
+    # unstable sorts only permute the fp32 accumulation order
+    u = dense_segment_sum_batched(idx, cols, sizes, method="sort",
+                                  pack=False, stable=False)
+    np.testing.assert_allclose(np.asarray(u), np.asarray(b),
+                               atol=2e-3, rtol=1e-4)
+
+
+def test_batched_segment_sum_packed_lane():
+    """pack=True (production stoch-backward default): bf16 value packing
+    into the sort's int32 lane. Exactly-representable values -> exact row
+    sums; normal values -> bf16-update-rounding error envelope
+    (~0.4% relative per update, sqrt-accumulating per row)."""
+    from arnerf_tpu.ops.segments import dense_segment_sum_batched
+    L, M = 3, 50_000
+    sizes = (64, 2048, 65_536)
+    idx = jnp.stack([jax.random.randint(jax.random.PRNGKey(l), (M,), 0,
+                                        sizes[l], jnp.int32)
+                     for l in range(L)])
+    # bf16-exact values: small integers scaled by a power of two
+    vals_e = (jax.random.randint(jax.random.PRNGKey(9), (L, M, 2), -8, 9,
+                                 jnp.int32).astype(jnp.float32) * 0.25)
+    cols_e = tuple(vals_e[:, :, j] for j in range(2))
+    a = dense_segment_sum_batched(idx, cols_e, sizes, method="sort",
+                                  pack=True)
+    b = dense_segment_sum_batched(idx, cols_e, sizes, method="scatter")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=2e-3, rtol=1e-4)
+    # generic values: row sums good to the bf16 update-rounding envelope
+    vals = jax.random.normal(jax.random.PRNGKey(10), (L, M, 2), jnp.float32)
+    cols = tuple(vals[:, :, j] for j in range(2))
+    p = np.asarray(dense_segment_sum_batched(idx, cols, sizes,
+                                             method="sort", pack=True))
+    s = np.asarray(dense_segment_sum_batched(idx, cols, sizes,
+                                             method="scatter"))
+    counts = np.zeros(sum(sizes))
+    off = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    for l in range(L):
+        np.add.at(counts, off[l] + np.asarray(idx[l]), 1.0)
+    envelope = 0.01 * np.sqrt(np.maximum(counts, 1.0)) + 1e-3
+    assert (np.abs(p - s).max(axis=1) < envelope).all()
 
 
 def test_batched_segment_sum_uniform_sizes_and_jit():
