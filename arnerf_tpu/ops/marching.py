@@ -293,15 +293,31 @@ def march_rays_train(rays_o, rays_d, hits_t, occ_flat, noise, *,
         max_nseg=max_nseg)
 
 
+def _starts_to_rows(starts, n_slots: int):
+    """Inverse of _upper_bound(starts, arange(n_slots)) for a sorted
+    `starts` (N,) with starts[0] == 0: slot p -> the ray owning it.
+
+    One tiny scatter (N rows) + one cumsum instead of log2(N) rounds of
+    n_slots-row gathers — the chip-measured costs are ~0.01 ms vs ~6 ms
+    PER GATHER ROUND at n_slots = 262144 (scripts/tpu_march_anatomy.py),
+    which is what makes the sort-selection marcher below pay off.
+    Rays with zero allocation stack their marks on one slot; the cumsum
+    counts them all, matching searchsorted(side='right') - 1."""
+    marks = jnp.zeros((n_slots,), jnp.int32).at[starts[1:]].add(
+        1, mode="drop")
+    return jnp.cumsum(marks)
+
+
 @partial(jax.jit, static_argnames=(
     "scale", "cascades", "exp_step_factor", "grid_size", "max_samples",
-    "n_candidates", "m_cap", "s_cap", "seg_pool_cap"))
+    "n_candidates", "m_cap", "s_cap", "seg_pool_cap", "selection"))
 def march_rays_train_pooled(rays_o, rays_d, hits_t, occ_flat, noise, *,
                             scale: float, cascades: int,
                             exp_step_factor: float, grid_size: int,
                             max_samples: int, n_candidates: int,
                             m_cap: int, s_cap: int, occ_coarse,
-                            seg_pool_cap: int) -> MarchResults:
+                            seg_pool_cap: int,
+                            selection: str = "search") -> MarchResults:
     """Two-level train marching with a SHARED cross-ray segment pool.
 
     `march_rays_train`'s two-level path pads segments per ray to `seg_cap`,
@@ -323,6 +339,25 @@ def march_rays_train_pooled(rays_o, rays_d, hits_t, occ_flat, noise, *,
     atomic global compaction this reproduces deterministically — including
     its property that buffer pressure from one ray never changes which
     cells OTHER rays may sample.
+
+    selection="search" (original): per-slot binary searches map compact
+    slots back to candidates. Chip-measured (scripts/tpu_march_anatomy.py,
+    250 GB/s window): every 262k-row gather costs ~6 ms and the searches
+    run ~21 of them — 141 ms of the 173 ms marcher.
+
+    selection="sort": ONE order-preserving sort per compaction instead.
+    Candidates are laid out ray-contiguously, so sorting the key
+    (elig ? flat_index : BIG + flat_index) materializes the compacted
+    eligible-candidate array in (ray, t) order; the (j+1)-th eligible
+    candidate of ray r is then a DIRECT read at
+    comp[cg0[fine_base[r]] + j], and slot->ray comes from _starts_to_rows
+    (scatter+cumsum). Allocation and striding policy are SHARED with
+    "search", so results are bit-identical in every regime (pinned by
+    tests/test_marching_composite.py) — only the slot->candidate
+    machinery differs. (An earlier round-4 variant truncated overflow
+    rays like the reference kernel instead of striding; it cost ~2.7 dB
+    on the 1000-step verify run by leaving tail rays unsupervised, so
+    striding stays in both modes.)
     """
     N = rays_o.shape[0]
     K = n_candidates
@@ -364,13 +399,30 @@ def march_rays_train_pooled(rays_o, rays_d, hits_t, occ_flat, noise, *,
     seg_start = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                                  jnp.cumsum(alloc_s)[:-1].astype(jnp.int32)])
     p = jnp.arange(Sp, dtype=jnp.int32)
-    r_p = jnp.clip(_upper_bound(seg_start, p), 0, N - 1)       # (Sp,)
+    if selection == "sort":
+        r_p = jnp.minimum(_starts_to_rows(seg_start, Sp), N - 1)
+    else:
+        r_p = jnp.clip(_upper_bound(seg_start, p), 0, N - 1)   # (Sp,)
     s_p = p - seg_start[r_p]
     valid_p = s_p < alloc_s[r_p]
     j_p = jnp.floor(s_p.astype(jnp.float32) * stride_s[r_p]).astype(jnp.int32)
     j_p = jnp.minimum(j_p, jnp.maximum(dseg[r_p] - 1, 0))
-    sel = _lower_bound_rows(c1.reshape(-1), r_p, j_p + 1, K1)  # (Sp,)
-    k_base = jnp.minimum(sel, K1 - 1) * F                      # global step
+    if selection == "sort":
+        # global eligible-segment compaction: keys are unique so the
+        # unstable sort is still order-preserving; the first total_nseg
+        # sorted keys are exactly the eligible (ray, segment) flats in
+        # ray-major order, and ray r's run starts at dseg_cum[r]
+        flatK = jnp.arange(N * K1, dtype=jnp.int32)
+        keyS = jnp.where(seg_elig.reshape(-1), flatK, N * K1 + flatK)
+        skey = jax.lax.sort(keyS, is_stable=False)
+        dseg_cum = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32),
+             jnp.cumsum(dseg)[:-1].astype(jnp.int32)])
+        sel_flat = skey[jnp.minimum(dseg_cum[r_p] + j_p, N * K1 - 1)]
+        k_base = (sel_flat % K1) * F
+    else:
+        sel = _lower_bound_rows(c1.reshape(-1), r_p, j_p + 1, K1)  # (Sp,)
+        k_base = jnp.minimum(sel, K1 - 1) * F                      # global step
 
     # ---- fine pass over pooled segments only -------------------------------
     ks_f = k_base[:, None] + jnp.arange(F, dtype=jnp.int32)[None, :]
@@ -391,38 +443,84 @@ def march_rays_train_pooled(rays_o, rays_d, hits_t, occ_flat, noise, *,
     cnt = cg0[jnp.minimum(fine_base + fine_len, Sp * F)] - cg0[fine_base]
     demand = jnp.minimum(cnt, s_cap)                           # (N,)
     total_demand = jnp.sum(demand)
+
+    # demand-proportional allocation with uniform striding: identical
+    # policy in both selection modes (the r3 quality finding stands —
+    # every ray keeps supervising its whole interval under pressure;
+    # truncation was tried in an earlier sort variant and cost ~2.7 dB
+    # on the 1000-step verify run by leaving tail rays unsupervised)
     ratio = jnp.minimum(
         1.0, m_cap / jnp.maximum(total_demand, 1).astype(jnp.float32))
-    alloc = jnp.floor(demand.astype(jnp.float32) * ratio).astype(jnp.int32)
+    alloc = jnp.floor(
+        demand.astype(jnp.float32) * ratio).astype(jnp.int32)
     stride = demand.astype(jnp.float32) \
         / jnp.maximum(alloc, 1).astype(jnp.float32)
-    ray_start = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                                 jnp.cumsum(alloc)[:-1].astype(jnp.int32)])
-
+    ray_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(alloc)[:-1].astype(jnp.int32)])
     m = jnp.arange(m_cap, dtype=jnp.int32)
-    r = jnp.clip(_upper_bound(ray_start, m), 0, N - 1)         # (M,)
-    s = m - ray_start[r]
-    valid = s < alloc[r]
-    j = jnp.floor(s.astype(jnp.float32) * stride[r]).astype(jnp.int32)
-    j = jnp.minimum(j, jnp.maximum(demand[r] - 1, 0))
-    # (j+1)-th eligible fine sample within ray r's pool region. A ray's
-    # region can span up to K1*F slots (> K when K isn't a multiple of F),
-    # and the iteration bound must cover the longest row or the search can
-    # return unconverged indices.
-    q = cg0[fine_base[r]] + j + 1
-    x = _lower_bound_var(cg, fine_base[r], fine_len[r], q, k_max=K1 * F)
-    flat_idx = fine_base[r] \
-        + jnp.minimum(x, jnp.maximum(fine_len[r] - 1, 0))
-    k_sel = ks_f.reshape(-1)[flat_idx]                         # global step
 
-    # ---- reconstruct sample attributes from the closed form ----------------
-    t_m = lt(t1[r], k_sel)
-    # integration step scales by BOTH thinning factors: segment striding
-    # (stride_s, pool pressure) and sample striding (stride, m_cap
-    # pressure); both are 1 once the grid is carved
-    dt_m = cd(t_m) * stride[r] * stride_s[r]
-    dirs = rays_d[r]
-    xyzs = rays_o[r] + t_m[:, None] * dirs
+    if selection == "sort":
+        # ONE order-preserving sort materializes the compacted eligible-
+        # candidate array (keys unique -> unstable sort is order-
+        # preserving); the (j+1)-th eligible candidate of ray r is then a
+        # DIRECT read at comp[cg0[fine_base[r]] + j] — no binary search.
+        # Results are bit-identical to selection="search" in every regime
+        # (same allocation, same striding); only the slot->candidate
+        # machinery differs.
+        flatF = jnp.arange(Sp * F, dtype=jnp.int32)
+        keyF = jnp.where(elig.reshape(-1), flatF, Sp * F + flatF)
+        _, comp_k = jax.lax.sort((keyF, ks_f.reshape(-1)), num_keys=1,
+                                 is_stable=False)
+        r = jnp.minimum(_starts_to_rows(ray_start, m_cap), N - 1)
+        # ALL per-ray values ride ONE packed (N, 13) row gather — gathers
+        # cost per ROW, not per byte (chip-measured ~3-6 ms per 262k-row
+        # gather op), so 8 separate per-ray gathers -> 1. int fields stay
+        # exact in f32 while < 2^24 (Sp*F caps at ~2^21 pools; guarded).
+        if Sp * F >= (1 << 24) or m_cap >= (1 << 24):
+            raise ValueError("sort selection: pool/m_cap too large for "
+                             "f32-packed per-ray table")
+        tab = jnp.stack([
+            ray_start.astype(jnp.float32), alloc.astype(jnp.float32),
+            stride, demand.astype(jnp.float32),
+            cg0[fine_base].astype(jnp.float32), stride_s, t1], axis=1)
+        tab = jnp.concatenate([tab, rays_o, rays_d], axis=1)   # (N, 13)
+        row = tab[r]                                           # (M, 13)
+        s = m - row[:, 0].astype(jnp.int32)
+        valid = s < row[:, 1].astype(jnp.int32)
+        j = jnp.floor(s.astype(jnp.float32) * row[:, 2]).astype(jnp.int32)
+        j = jnp.minimum(j, jnp.maximum(row[:, 3].astype(jnp.int32) - 1, 0))
+        q = jnp.minimum(row[:, 4].astype(jnp.int32) + j, Sp * F - 1)
+        k_sel = comp_k[q]                                      # global step
+        t_m = lt(row[:, 6], k_sel)
+        dt_m = cd(t_m) * row[:, 2] * row[:, 5]
+        dirs = row[:, 10:13]                                   # rays_d
+        xyzs = row[:, 7:10] + t_m[:, None] * dirs              # o + t*d
+    else:
+        r = jnp.clip(_upper_bound(ray_start, m), 0, N - 1)     # (M,)
+        s = m - ray_start[r]
+        valid = s < alloc[r]
+        j = jnp.floor(s.astype(jnp.float32) * stride[r]).astype(jnp.int32)
+        j = jnp.minimum(j, jnp.maximum(demand[r] - 1, 0))
+        # (j+1)-th eligible fine sample within ray r's pool region. A
+        # ray's region can span up to K1*F slots (> K when K isn't a
+        # multiple of F), and the iteration bound must cover the longest
+        # row or the search can return unconverged indices.
+        q = cg0[fine_base[r]] + j + 1
+        x = _lower_bound_var(cg, fine_base[r], fine_len[r], q,
+                             k_max=K1 * F)
+        flat_idx = fine_base[r] \
+            + jnp.minimum(x, jnp.maximum(fine_len[r] - 1, 0))
+        k_sel = ks_f.reshape(-1)[flat_idx]                     # global step
+
+        # ---- reconstruct sample attributes from the closed form ---------
+        t_m = lt(t1[r], k_sel)
+        # integration step scales by BOTH thinning factors: segment
+        # striding (stride_s, pool pressure) and sample striding (stride,
+        # m_cap pressure); both are 1 once the grid is carved
+        dt_m = cd(t_m) * stride[r] * stride_s[r]
+        dirs = rays_d[r]
+        xyzs = rays_o[r] + t_m[:, None] * dirs
     fvalid = valid.astype(t_m.dtype)
     return MarchResults(
         xyzs=xyzs * fvalid[:, None], dirs=dirs * fvalid[:, None],
@@ -489,18 +587,24 @@ def march_rays_test(rays_o, rays_d, t_cur, t2, occ_flat, *,
         nc = nc.astype(jnp.int32)
         cflat = (nc[..., 0] * CG + nc[..., 1]) * CG + nc[..., 2]
         seg_elig = (occ_coarse[cflat] > 0) & (t_seg < t2[:, None])
-        c1 = jnp.cumsum(seg_elig.astype(jnp.int32), axis=1)
-        nseg_raw = c1[:, -1]
+        nseg_raw = jnp.sum(seg_elig.astype(jnp.int32), axis=1)
         nseg = jnp.minimum(nseg_raw, seg_cap)
         truncated = nseg_raw > seg_cap
-        srows = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[:, None],
-                                 (N, seg_cap))
-        squer = jnp.broadcast_to(
-            jnp.arange(1, seg_cap + 1, dtype=jnp.int32)[None, :],
-            (N, seg_cap))
-        sel_j = _lower_bound_rows(c1.reshape(-1), srows.reshape(-1),
-                                  squer.reshape(-1), K1).reshape(N, seg_cap)
-        sel_j = jnp.minimum(sel_j, K1 - 1)
+        # row-local sort selection (round 4): sorting the per-row key
+        # (elig ? col : K1 + col) packs the eligible columns to the front
+        # in order — one vectorized (N, K1) sort instead of log2(K1)
+        # rounds of (N, seg_cap) search gathers. Exact-equal to the old
+        # binary search (keys unique per row).
+        keyS = jnp.where(
+            seg_elig,
+            jnp.broadcast_to(jnp.arange(K1, dtype=jnp.int32)[None, :],
+                             (N, K1)),
+            K1 + jnp.broadcast_to(jnp.arange(K1, dtype=jnp.int32)[None, :],
+                                  (N, K1)))
+        skeyS = jax.lax.sort(keyS, dimension=1, is_stable=False)
+        sel_pad = skeyS[:, :seg_cap] if seg_cap <= K1 else jnp.concatenate(
+            [skeyS, jnp.full((N, seg_cap - K1), 2 * K1, jnp.int32)], axis=1)
+        sel_j = jnp.where(sel_pad < K1, sel_pad, K1 - 1)
         slot_ok = jnp.arange(seg_cap, dtype=jnp.int32)[None, :] \
             < nseg[:, None]
         ks = (sel_j * F)[:, :, None] \
@@ -512,10 +616,11 @@ def march_rays_test(rays_o, rays_d, t_cur, t2, occ_flat, *,
         # segment has been covered: the selected segments were fine-scanned
         # and the rest are coarse-empty (dilated superset => truly empty),
         # so the cursor may skip past them too
-        rows1 = jnp.arange(N, dtype=jnp.int32)
-        over = _lower_bound_rows(c1.reshape(-1), rows1,
-                                 jnp.full((N,), seg_cap + 1, jnp.int32), K1)
-        over = jnp.minimum(over, K1 - 1)
+        if seg_cap < K1:
+            over = jnp.where(skeyS[:, seg_cap] < K1, skeyS[:, seg_cap],
+                             K1 - 1)
+        else:
+            over = jnp.full((N,), K1 - 1, jnp.int32)
         scan_end_k = jnp.where(truncated, over * F - 1, K - 1)
     else:
         ks = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :],
@@ -531,15 +636,18 @@ def march_rays_test(rays_o, rays_d, t_cur, t2, occ_flat, *,
                            cascades=cascades, grid_size=grid_size)
     elig = occ & (t_cand < t2[:, None]) & slot_mask
 
-    c = jnp.cumsum(elig.astype(jnp.int32), axis=1)             # (N, Kf)
-    n_eff = jnp.minimum(c[:, -1], S)
+    n_eff = jnp.minimum(jnp.sum(elig.astype(jnp.int32), axis=1), S)
 
+    # row-local sort selection (see the segment pass above): the first S
+    # sorted keys are the first S eligible columns, in order
     s = jnp.arange(S, dtype=jnp.int32)[None, :]
-    rows = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[:, None], (N, S))
-    queries = jnp.broadcast_to(s + 1, (N, S))
-    q_sel = _lower_bound_rows(c.reshape(-1), rows.reshape(-1),
-                              queries.reshape(-1), Kf)
-    q_sel = jnp.minimum(q_sel.reshape(N, S), Kf - 1)
+    colsF = jnp.broadcast_to(jnp.arange(Kf, dtype=jnp.int32)[None, :],
+                             (N, Kf))
+    keyF = jnp.where(elig, colsF, Kf + colsF)
+    skeyF = jax.lax.sort(keyF, dimension=1, is_stable=False)
+    q_pad = skeyF[:, :S] if S <= Kf else jnp.concatenate(
+        [skeyF, jnp.full((N, S - Kf), 2 * Kf, jnp.int32)], axis=1)
+    q_sel = jnp.where(q_pad < Kf, q_pad, Kf - 1)
     k_sel = jnp.take_along_axis(ks, q_sel, axis=1)             # global steps
     vmask = s < n_eff[:, None]                                 # (N, S)
 

@@ -48,13 +48,14 @@ def default_candidates(cfg: NGPConfig, exp_step_factor: float,
 
 @partial(jax.jit, static_argnames=(
     "cfg", "exp_step_factor", "T_threshold", "random_bg", "m_cap", "s_cap",
-    "max_samples", "seg_cap", "stoch", "seg_pool"))
+    "max_samples", "seg_cap", "stoch", "seg_pool", "selection"))
 def render_train(params, grid_state, rays_o, rays_d, key, cfg: NGPConfig, *,
                  exp_step_factor: float = 0.0, T_threshold: float = 1e-4,
                  random_bg: bool = False, m_cap: int = 256 * 1024,
                  s_cap: int = MAX_SAMPLES, max_samples: int = MAX_SAMPLES,
                  seg_cap: int = 64, exposure=None, mesh_depth_map=None,
-                 stoch: bool = False, seg_pool: int = 0):
+                 stoch: bool = False, seg_pool: int = 0,
+                 selection: str = "search"):
     """Differentiable training-path render. Returns the reference's results
     dict (rendering.py:255-298): rgb, opacity, depth, ws, deltas, ts +
     segment layout + sample counters.
@@ -68,7 +69,12 @@ def render_train(params, grid_state, rays_o, rays_d, key, cfg: NGPConfig, *,
     segment pool of that many TOTAL slots (march_rays_train_pooled):
     marching cost scales with mean segment demand instead of the worst
     ray's. Ignored (falls back to the per-ray seg_cap path) for
-    multi-cascade scenes or when seg_cap == 0 (warmup)."""
+    multi-cascade scenes or when seg_cap == 0 (warmup).
+
+    selection ("search" | "sort") picks the pooled marcher's compaction
+    algorithm — see march_rays_train_pooled; identical sample sets when
+    the budgets fit, and "sort" replaces ~21 serial gather rounds with
+    one sort (the chip-measured march bottleneck)."""
     k_noise, k_bg, k_stoch = jax.random.split(key, 3)
     seed = jax.random.bits(k_stoch, dtype=jnp.uint32) if stoch else None
     hits = scene_hits(rays_o, rays_d, cfg, mesh_depth_map)
@@ -94,7 +100,7 @@ def render_train(params, grid_state, rays_o, rays_d, key, cfg: NGPConfig, *,
             n_candidates=default_candidates(cfg, exp_step_factor,
                                             max_samples),
             m_cap=m_cap, s_cap=s_cap, occ_coarse=occ_coarse,
-            seg_pool_cap=seg_pool)
+            seg_pool_cap=seg_pool, selection=selection)
     else:
         mr = march_rays_train(
             rays_o, rays_d, hits, grid_state.occ_flat, noise,

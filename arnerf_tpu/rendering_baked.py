@@ -164,6 +164,44 @@ def build_mip_dist(mip, Bc: int):
     return jnp.clip(d, 0, 255).reshape(-1).astype(jnp.uint8)
 
 
+def build_mip_dist_mc(sigma, B: int, cascades: int):
+    """Multi-cascade analogue of build_sigma_mip + build_mip_dist: ONE
+    outer-cube Chebyshev distance field covering every cascade's occupancy.
+
+    The concatenated (C*B^3,) baked sigma holds cascade c's B^3 grid over
+    the nested cube of half-extent h_c = scale / 2^(C-1-c). An outer
+    supercell (Bc^3 over the full cube, Bc = B / MIP_FACTOR) is marked if
+    ANY cascade's written voxel intersects it: cascade c's cube spans the
+    central Bc / 2^(C-1-c) supercells, each covering (F * 2^(C-1-c))^3 of
+    its voxels — a reshape max-pool per cascade (powers of two nest
+    exactly). Dilated 1 supercell (same slack budget as the single-cascade
+    mip: trilerp jitter <= one fine voxel, probe spacing <= one supercell)
+    then distance-transformed for the sphere-tracing prelude.
+
+    Geometry is world-space only, so the prelude it feeds is cascade-
+    agnostic: coarse granularity over the inner cascade merely loosens the
+    [first, last] bounds, never skips occupancy."""
+    F = MIP_FACTOR
+    if B % F:
+        raise ValueError("build_mip_dist_mc needs MIP_FACTOR | B")
+    Bc = B // F
+    sig = jnp.asarray(sigma).reshape(cascades, B, B, B)
+    occ_out = jnp.zeros((Bc, Bc, Bc), jnp.float32)
+    for c in range(cascades):
+        f = 2 ** (cascades - 1 - c)            # h_outer / h_c
+        m = Bc // f                            # supercells cascade c spans
+        if m == 0:
+            continue
+        pool = F * f
+        occ_c = (sig[c] > 0).astype(jnp.float32).reshape(
+            m, pool, m, pool, m, pool).max(axis=(1, 3, 5))
+        lo = (Bc - m) // 2
+        occ_out = occ_out.at[lo:lo + m, lo:lo + m, lo:lo + m].max(occ_c)
+    occ_d = jax.lax.reduce_window(occ_out, -jnp.inf, jax.lax.max,
+                                  (3, 3, 3), (1, 1, 1), "SAME")
+    return build_mip_dist((occ_d > 0).astype(jnp.uint8).reshape(-1), Bc)
+
+
 def fibonacci_sphere(n: int) -> np.ndarray:
     """Deterministic near-uniform sphere directions (n, 3)."""
     i = np.arange(n, dtype=np.float64) + 0.5
@@ -383,9 +421,12 @@ def bake_field_mc(field_fn, scale: float, cascades: int,
                 rows, occ_idx, cascades * B ** 3)
     if not keep_dense_rows and rows_q is not None:
         rows = jnp.zeros((1, N_CH), rows.dtype)
+    mip_dist = (build_mip_dist_mc(sigma, B, cascades)
+                if B % MIP_FACTOR == 0 else None)
     return BakedField(rows=rows, resolution=B, scale=scale,
                       aabb_lo=aabb_lo, aabb_hi=aabb_hi, sigma=sigma,
-                      cascades=cascades, row_index=row_index, rows_q=rows_q)
+                      cascades=cascades, row_index=row_index, rows_q=rows_q,
+                      mip_dist=mip_dist)
 
 
 def _mc_voxel_index(x, jitter, B: int, scale: float, cascades: int):
@@ -407,7 +448,7 @@ def _mc_voxel_index(x, jitter, B: int, scale: float, cascades: int):
 
 @partial(jax.jit, static_argnames=(
     "B", "scale", "cascades", "T_threshold", "n_steps_cap",
-    "samples_per_round", "step_mult", "color_window"))
+    "samples_per_round", "step_mult", "color_window", "compact"))
 def render_baked_mc_uniform(rows, aabb_lo, aabb_hi, rays_o, rays_d, key, *,
                             B: int, scale: float, cascades: int,
                             T_threshold: float = 1e-2,
@@ -415,7 +456,8 @@ def render_baked_mc_uniform(rows, aabb_lo, aabb_hi, rays_o, rays_d, key, *,
                             samples_per_round: int = 16,
                             step_mult: float = 1.0, t_far=None,
                             sigma=None, color_window: int = 0,
-                            row_index=None, rows_q=None):
+                            row_index=None, rows_q=None, mip_dist=None,
+                            compact: bool = True):
     """Multi-cascade baked render chunk: distance-scaled (exponential)
     stepping so the step length tracks the LOCAL cascade's voxel size.
 
@@ -447,9 +489,16 @@ def render_baked_mc_uniform(rows, aabb_lo, aabb_hi, rays_o, rays_d, key, *,
     >38 dB); if baked output is ever alpha-composited downstream, the
     rgb/opacity asymmetry is the term to re-check.
 
-    Still no coarse-mip prelude or survivor compaction on this path
-    (future work); early termination exits saturated rays between
-    rounds. Single-cascade scenes keep render_baked_uniform unchanged."""
+    mip_dist (build_mip_dist_mc) enables the same distance-stepping
+    prelude as the single-cascade path — one OUTER-cube Chebyshev field
+    covering every cascade's occupancy, so empty approach/exit space
+    costs O(few) probes per ray instead of exponential-step rounds — and
+    compact=True ports the single-cascade survivor compaction: the round
+    loop runs over halving alive-first prefixes (argsort + gathers
+    between phases), so saturated/exhausted rays stop paying fetch rows.
+    Both default on via render_baked/baked_frame_device_fn; results are
+    prelude/compaction-invariant (pinned by tests/test_baked.py).
+    Single-cascade scenes keep render_baked_uniform unchanged."""
     from .ops.rng import hash_uniform3
     N = rays_o.shape[0]
     S = samples_per_round
@@ -472,113 +521,176 @@ def render_baked_mc_uniform(rows, aabb_lo, aabb_hi, rays_o, rays_d, key, *,
     dt_max = step_mult * 2.0 * scale / B       # outermost voxel
     max_rounds = -(-n_steps_cap // S)
 
-    def cond(carry):
-        *_, alive, rounds = carry
-        return jnp.any(alive) & (rounds < max_rounds)
+    t_begin, t_end = t1, t2
+    alive0 = (hits[:, 0] > -0.5) & (t2 > t1)
+    if mip_dist is not None:
+        # distance-stepping prelude on the outer-cube field (geometry is
+        # world-space, so it is cascade-agnostic); margins as in the
+        # single-cascade path — 1.5 outer supercells cover half-spacing +
+        # trilerp jitter (<= one fine voxel <= 1/MIP_FACTOR supercell)
+        w_c = MIP_FACTOR * 2.0 * scale / B
+        any_occ, first_t, last_t = _prelude_dist(
+            mip_dist, rays_o, rays_d, t1, t2, B, scale, compact=compact)
+        t_begin = jnp.clip(first_t - 1.5 * w_c, t1, t2)
+        t_end = jnp.minimum(last_t + 1.5 * w_c, t2)
+        alive0 = alive0 & any_occ
 
-    def body(carry):
-        t_cur, opacity, depth, rgb, alive, rounds = carry
+    def make_phase(ro_p, rd_p, sh_p, te_p, Np, next_n):
+        def cond(carry):
+            *_, alive, rounds = carry
+            n_alive = jnp.sum(alive.astype(jnp.int32))
+            go = (n_alive > 0) & (rounds < max_rounds)
+            if next_n:
+                go = go & (n_alive > next_n)
+            return go
 
-        def ladder(t, _):
-            dt = jnp.clip(t * g, dt0, dt_max)
-            return t + dt, (t + 0.5 * dt, dt)
+        def body(carry):
+            t_cur, opacity, depth, rgb, alive, rounds = carry
 
-        t_next, (ts, dts) = jax.lax.scan(ladder, t_cur, None, length=S)
-        ts = jnp.transpose(ts)                                    # (N, S)
-        dts = jnp.transpose(dts)
-        pos = rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :]
-        flat_x = pos.reshape(N * S, 3)
-        ctr = (jnp.uint32(rounds) * jnp.uint32(N * S)
-               + jnp.arange(N * S, dtype=jnp.uint32))
-        jitter = hash_uniform3(ctr, seed, stream=1)
-        ii = _mc_voxel_index(flat_x, jitter, B, scale, cascades)
-        in_range = (ts < t2[:, None]) & alive[:, None]
+            def ladder(t, _):
+                dt = jnp.clip(t * g, dt0, dt_max)
+                return t + dt, (t + 0.5 * dt, dt)
 
-        if not use_split:
-            f = rows[ii].astype(jnp.float32)                      # (M, 32)
-            sig = f[:, 0].reshape(N, S)
-            sh = f[:, 1:28].reshape(N, S, 3, N_SH)
-            col = jnp.maximum(jnp.einsum("nsck,nk->nsc", sh, sh_d), 0.0)
-            sig = jnp.where(in_range, sig, 0.0)
-            n_eff = jnp.sum(in_range, axis=1)
-            opacity, depth, rgb, still = composite_test_step(
-                sig, col, dts, ts, n_eff, opacity, depth, rgb, T_threshold)
+            t_next, (ts, dts) = jax.lax.scan(ladder, t_cur, None, length=S)
+            ts = jnp.transpose(ts)                                # (Np, S)
+            dts = jnp.transpose(dts)
+            pos = ro_p[:, None, :] + ts[..., None] * rd_p[:, None, :]
+            flat_x = pos.reshape(Np * S, 3)
+            ctr = (jnp.uint32(rounds) * jnp.uint32(Np * S)
+                   + jnp.arange(Np * S, dtype=jnp.uint32))
+            jitter = hash_uniform3(ctr, seed, stream=1)
+            ii = _mc_voxel_index(flat_x, jitter, B, scale, cascades)
+            in_range = (ts < te_p[:, None]) & alive[:, None]
+
+            if not use_split:
+                f = rows[ii].astype(jnp.float32)                  # (M, 32)
+                sig = f[:, 0].reshape(Np, S)
+                sh = f[:, 1:28].reshape(Np, S, 3, N_SH)
+                col = jnp.maximum(
+                    jnp.einsum("nsck,nk->nsc", sh, sh_p), 0.0)
+                sig = jnp.where(in_range, sig, 0.0)
+                n_eff = jnp.sum(in_range, axis=1)
+                opacity, depth, rgb, still = composite_test_step(
+                    sig, col, dts, ts, n_eff, opacity, depth, rgb,
+                    T_threshold)
+                t_cur = jnp.where(alive, t_next, t_cur)
+                alive = alive & still & (t_cur < te_p)
+                return (t_cur, opacity, depth, rgb, alive, rounds + 1)
+
+            # ---- split path: narrow sigma fetch -> exact weights -------
+            # identical weight math to composite_test_step (in_range IS
+            # the prefix mask it derives from n_eff: ts is monotone in s
+            # and the alive mask zeroes whole rows), with per-sample dts
+            # instead of the single-cascade path's scalar dt.
+            iiNS = ii.reshape(Np, S)
+            sig = jnp.where(in_range, sigma[ii].reshape(Np, S), 0.0)
+            sd = sig * dts
+            sd_excl = jnp.cumsum(sd, axis=1) - sd
+            T_before = (1.0 - opacity)[:, None] * jnp.exp(-sd_excl)
+            alpha = 1.0 - jnp.exp(-sd)
+            included = (T_before > T_threshold) & in_range
+            w = alpha * T_before * included.astype(sig.dtype)     # (Np, S)
+            opacity = opacity + jnp.sum(w, axis=1)
+            depth = depth + jnp.sum(w * ts, axis=1)
+
+            # big rows only over the per-ray weight support: color_window
+            # stride-adaptive buckets tile [first, last] significant
+            # sample; bucket weight = exact cumsum difference, bucket
+            # color = the row at the bucket center (render_baked_uniform's
+            # scheme).
+            Wc = color_window
+            sel = w > 1e-4
+            any_sel = jnp.any(sel, axis=1)
+            start = jnp.argmax(sel, axis=1).astype(jnp.int32)     # (Np,)
+            last = (S - 1
+                    - jnp.argmax(sel[:, ::-1], axis=1).astype(jnp.int32))
+            span = jnp.maximum(last - start + 1, 1)
+            stride = (span + Wc - 1) // Wc                        # (Np,)
+            k = jnp.arange(Wc, dtype=jnp.int32)[None, :]
+            b0 = start[:, None] + k * stride[:, None]             # (Np, Wc)
+            b1 = jnp.minimum(b0 + stride[:, None], S)
+            slot_ok = (b0 <= last[:, None]) & any_sel[:, None]
+            cw = jnp.cumsum(w, axis=1)                            # (Np, S)
+            hi_w = jnp.take_along_axis(cw, jnp.clip(b1 - 1, 0, S - 1),
+                                       axis=1)
+            lo_w = jnp.where(b0 > 0,
+                             jnp.take_along_axis(
+                                 cw, jnp.clip(b0 - 1, 0, S - 1), axis=1),
+                             0.0)
+            w_slot = (hi_w - lo_w) * slot_ok.astype(w.dtype)
+            jc = jnp.clip(jnp.minimum(b0 + stride[:, None] // 2,
+                                      last[:, None]), 0, S - 1)
+            ii_sel = jnp.take_along_axis(iiNS, jc, axis=1)
+            if rows_q is not None:
+                # quantized occupied-only color path (single-cascade v3,
+                # same layout): narrow voxel->compact index gather + one
+                # 32 B int8 row; empty voxels hit reserved all-zero row 0.
+                rix = row_index[ii_sel.reshape(-1)]
+                fq = rows_q[rix]                            # (M, 32) int8
+                sc = jax.lax.bitcast_convert_type(
+                    fq[:, N_CH - 4:], jnp.float32)          # (M,)
+                sh = (fq[:, :27].astype(jnp.float32) * sc[:, None]) \
+                    .reshape(Np, Wc, 3, N_SH)
+            else:
+                f = rows[ii_sel.reshape(-1)].astype(jnp.float32) \
+                    .reshape(Np, Wc, N_CH)
+                sh = f[:, :, 1:28].reshape(Np, Wc, 3, N_SH)
+            rgb_sel = jnp.maximum(
+                jnp.einsum("nwck,nk->nwc", sh, sh_p), 0.0)
+            rgb = rgb + jnp.sum(w_slot[..., None] * rgb_sel, axis=1)
+
+            still = (1.0 - opacity) > T_threshold
             t_cur = jnp.where(alive, t_next, t_cur)
-            alive = alive & still & (t_cur < t2)
+            alive = alive & still & (t_cur < te_p)
             return (t_cur, opacity, depth, rgb, alive, rounds + 1)
 
-        # ---- split path: narrow sigma fetch -> exact weights ----------
-        # identical weight math to composite_test_step (in_range IS the
-        # prefix mask it derives from n_eff: ts is monotone in s and the
-        # alive mask zeroes whole rows), with per-sample dts instead of
-        # the single-cascade path's scalar dt.
-        iiNS = ii.reshape(N, S)
-        sig = jnp.where(in_range, sigma[ii].reshape(N, S), 0.0)
-        sd = sig * dts
-        sd_excl = jnp.cumsum(sd, axis=1) - sd
-        T_before = (1.0 - opacity)[:, None] * jnp.exp(-sd_excl)
-        alpha = 1.0 - jnp.exp(-sd)
-        included = (T_before > T_threshold) & in_range
-        w = alpha * T_before * included.astype(sig.dtype)         # (N, S)
-        opacity = opacity + jnp.sum(w, axis=1)
-        depth = depth + jnp.sum(w * ts, axis=1)
+        return cond, body
 
-        # big rows only over the per-ray weight support: `color_window`
-        # stride-adaptive buckets tile [first, last] significant sample;
-        # bucket weight = exact cumsum difference, bucket color = the row
-        # at the bucket center (same scheme as render_baked_uniform).
-        Wc = color_window
-        sel = w > 1e-4
-        any_sel = jnp.any(sel, axis=1)
-        start = jnp.argmax(sel, axis=1).astype(jnp.int32)         # (N,)
-        last = (S - 1
-                - jnp.argmax(sel[:, ::-1], axis=1).astype(jnp.int32))
-        span = jnp.maximum(last - start + 1, 1)
-        stride = (span + Wc - 1) // Wc                            # (N,)
-        k = jnp.arange(Wc, dtype=jnp.int32)[None, :]
-        b0 = start[:, None] + k * stride[:, None]                 # (N, Wc)
-        b1 = jnp.minimum(b0 + stride[:, None], S)
-        slot_ok = (b0 <= last[:, None]) & any_sel[:, None]
-        cw = jnp.cumsum(w, axis=1)                                # (N, S)
-        hi_w = jnp.take_along_axis(cw, jnp.clip(b1 - 1, 0, S - 1), axis=1)
-        lo_w = jnp.where(b0 > 0,
-                         jnp.take_along_axis(
-                             cw, jnp.clip(b0 - 1, 0, S - 1), axis=1),
-                         0.0)
-        w_slot = (hi_w - lo_w) * slot_ok.astype(w.dtype)
-        jc = jnp.clip(jnp.minimum(b0 + stride[:, None] // 2,
-                                  last[:, None]), 0, S - 1)
-        ii_sel = jnp.take_along_axis(iiNS, jc, axis=1)
-        if rows_q is not None:
-            # quantized occupied-only color path (single-cascade v3,
-            # same layout): narrow voxel->compact index gather + one
-            # 32 B int8 row; empty voxels hit reserved all-zero row 0.
-            rix = row_index[ii_sel.reshape(-1)]
-            fq = rows_q[rix]                                # (M, 32) int8
-            sc = jax.lax.bitcast_convert_type(
-                fq[:, N_CH - 4:], jnp.float32)              # (M,)
-            sh = (fq[:, :27].astype(jnp.float32) * sc[:, None]) \
-                .reshape(N, Wc, 3, N_SH)
-        else:
-            f = rows[ii_sel.reshape(-1)].astype(jnp.float32) \
-                .reshape(N, Wc, N_CH)
-            sh = f[:, :, 1:28].reshape(N, Wc, 3, N_SH)
-        rgb_sel = jnp.maximum(jnp.einsum("nwck,nk->nwc", sh, sh_d), 0.0)
-        rgb = rgb + jnp.sum(w_slot[..., None] * rgb_sel, axis=1)
+    n_prelude_alive = jnp.sum(alive0.astype(jnp.int32))
+    carry = (jnp.where(alive0, t_begin, t2 + 1.0), jnp.zeros(N),
+             jnp.zeros(N), jnp.zeros((N, 3)), alive0, jnp.int32(0))
 
-        still = (1.0 - opacity) > T_threshold
-        t_cur = jnp.where(alive, t_next, t_cur)
-        alive = alive & still & (t_cur < t2)
-        return (t_cur, opacity, depth, rgb, alive, rounds + 1)
+    # halving alive-first prefixes, as in render_baked_uniform
+    sizes = [N]
+    if compact:
+        while len(sizes) < 7 and sizes[-1] // 2 >= 4096:
+            sizes.append(sizes[-1] // 2)
 
-    alive0 = (hits[:, 0] > -0.5) & (t2 > t1)
-    carry = (t1, jnp.zeros(N), jnp.zeros(N), jnp.zeros((N, 3)), alive0,
-             jnp.int32(0))
-    t_cur, opacity, depth, rgb, alive, rounds = \
-        jax.lax.while_loop(cond, body, carry)
+    ro_p, rd_p, sh_p, te_p = rays_o, rays_d, sh_d, t_end
+    perms, tails = [], []
+    for pi, Np in enumerate(sizes):
+        next_n = sizes[pi + 1] if pi + 1 < len(sizes) else 0
+        cond, body = make_phase(ro_p, rd_p, sh_p, te_p, Np, next_n)
+        carry = jax.lax.while_loop(cond, body, carry)
+        if next_n:
+            t_cur, opacity, depth, rgb, alive, rn = carry
+            perm = jnp.argsort(
+                jnp.where(alive, 0, Np) + jnp.arange(Np, dtype=jnp.int32))
+            t_cur, opacity, depth = t_cur[perm], opacity[perm], depth[perm]
+            rgb, alive = rgb[perm], alive[perm]
+            ro_p, rd_p = ro_p[perm], rd_p[perm]
+            sh_p, te_p = sh_p[perm], te_p[perm]
+            perms.append(perm)
+            tails.append((t_cur[next_n:], opacity[next_n:], depth[next_n:],
+                          rgb[next_n:], alive[next_n:]))
+            carry = (t_cur[:next_n], opacity[:next_n], depth[:next_n],
+                     rgb[:next_n], alive[:next_n], rn)
+            ro_p, rd_p = ro_p[:next_n], rd_p[:next_n]
+            sh_p, te_p = sh_p[:next_n], te_p[:next_n]
+
+    t_cur, opacity, depth, rgb, alive, rounds = carry
+    for perm, tail in zip(reversed(perms), reversed(tails)):
+        t_cur = jnp.concatenate([t_cur, tail[0]])
+        opacity = jnp.concatenate([opacity, tail[1]])
+        depth = jnp.concatenate([depth, tail[2]])
+        rgb = jnp.concatenate([rgb, tail[3]])
+        alive = jnp.concatenate([alive, tail[4]])
+        inv = jnp.argsort(perm)
+        t_cur, opacity, depth = t_cur[inv], opacity[inv], depth[inv]
+        rgb, alive = rgb[inv], alive[inv]
+
     return {"opacity": opacity, "depth": depth / dn[:, 0], "rgb": rgb,
-            "rounds": rounds,
-            "n_prelude_alive": jnp.sum(alive0.astype(jnp.int32))}
+            "rounds": rounds, "n_prelude_alive": n_prelude_alive}
 
 
 def _prelude_dist(mip_dist, roc, rdc, t1c, t2c, B: int, scale: float,
@@ -758,7 +870,8 @@ def sample_baked(rows, xyz, sh_d, B: int, scale: float,
 
 @partial(jax.jit, static_argnames=(
     "B", "scale", "interp", "T_threshold", "n_steps", "samples_per_round",
-    "max_rounds", "return_state", "compact", "color_window", "block4"))
+    "max_rounds", "return_state", "compact", "color_window", "block4",
+    "phase_floor", "phase_max"))
 def render_baked_uniform(rows, aabb_lo, aabb_hi, rays_o, rays_d, key, *,
                          B: int, scale: float, interp: str = "stochastic",
                          T_threshold: float = 1e-2, n_steps: int = 128,
@@ -766,6 +879,7 @@ def render_baked_uniform(rows, aabb_lo, aabb_hi, rays_o, rays_d, key, *,
                          max_rounds: int = 0, return_state: bool = False,
                          mip=None, compact: bool = True, sigma=None,
                          color_window: int = 8, block4: bool = False,
+                         phase_floor: int = 4096, phase_max: int = 7,
                          row_index=None, rows_q=None, t_far=None,
                          mip_dist=None):
     """Uniform-stepping baked render chunk: one compiled program per bucket,
@@ -1081,7 +1195,7 @@ def render_baked_uniform(rows, aabb_lo, aabb_hi, rays_o, rays_d, key, *,
     # tens of ms (frame anatomy, DESIGN.md).
     sizes = [N]
     if compact and init_state is None and not return_state:
-        while len(sizes) < 7 and sizes[-1] // 2 >= 4096:
+        while len(sizes) < phase_max and sizes[-1] // 2 >= phase_floor:
             sizes.append(sizes[-1] // 2)
 
     ro_p, rd_p, sh_p, te_p = rays_o, rays_d, sh_d, t_end
@@ -1261,7 +1375,8 @@ def render_baked(baked: BakedField, grid_state, rays_o, rays_d, cfg, *,
                 cascades=baked.cascades, T_threshold=T_threshold,
                 samples_per_round=samples_per_round, t_far=t_far,
                 sigma=baked.sigma, color_window=color_window,
-                row_index=baked.row_index, rows_q=baked.rows_q)
+                row_index=baked.row_index, rows_q=baked.rows_q,
+                mip_dist=getattr(baked, "mip_dist", None))
         else:
             res = render_baked_uniform(
                 baked.rows, baked.aabb_lo, baked.aabb_hi, ro, rd, k,
@@ -1314,7 +1429,8 @@ def baked_frame_device_fn(baked: BakedField, rays_o, rays_d, *,
                     cascades=baked.cascades, T_threshold=T_threshold,
                     samples_per_round=samples_per_round,
                     sigma=baked.sigma, color_window=color_window,
-                    row_index=baked.row_index, rows_q=baked.rows_q)
+                    row_index=baked.row_index, rows_q=baked.rows_q,
+                    mip_dist=getattr(baked, "mip_dist", None))
             else:
                 res = render_baked_uniform(
                     baked.rows, baked.aabb_lo, baked.aabb_hi, ro, rd, key,

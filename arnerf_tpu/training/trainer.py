@@ -76,6 +76,14 @@ class TrainConfig:
     # at least the per-ray path's samples. Single-cascade scenes only
     # (others fall back).
     seg_pool: bool = True
+    # pooled-marcher compaction algorithm ("sort" | "search"). "sort"
+    # replaces the per-slot binary searches with one order-preserving
+    # sort + direct compacted-array reads + a scatter/cumsum slot->ray
+    # map — chip-measured march 161 -> 57 ms, full grad step 262 ->
+    # 157 ms at the bench shape (scripts/tpu_march_anatomy.py, 264 GB/s
+    # window). Bit-identical sample sets to "search" in every regime
+    # (same allocation + striding policy; pinned by test).
+    march_selection: str = "sort"
     # exact-corner finish: stochastic single-corner gathers train ~3x
     # faster but optimize the STOCHASTIC forward — validation/baking
     # evaluate exact trilerp, and that mismatch plus gradient noise costs
@@ -191,7 +199,8 @@ def train_step_impl(params, opt_state, grid_state, images, poses, directions,
             stoch=cfg.stoch_corners and not tc.optimize_ext,
             # shared segment pool sized by the batch mean (seg_cap slots/ray)
             seg_pool=(tc.batch_size * seg_cap
-                      if tc.seg_pool and seg_cap > 0 else 0))
+                      if tc.seg_pool and seg_cap > 0 else 0),
+            selection=tc.march_selection)
         ld = nerf_loss(results, rgb_gt, tc.loss)
         if tc.use_exposure:
             # anchor the tonemappers at unit exposure (reference
@@ -651,9 +660,15 @@ class NeRFTrainer:
         from dataclasses import replace as _replace
         cap = self.tc.seg_cap
         if self._pool_mode:
-            fit = max(floor, int(-(-(nseg * 1.3) // 8)) * 8)
+            # capacity targets demand WITHOUT headroom: mild segment
+            # striding (stride_s up to ~1.25) is measured quality-FREE
+            # (r3 A/B: pool 32 at demand ~39 scored >= pool 64 at equal
+            # steps, bench_runs/r3_segpool_quality_ab.log) while every
+            # marching cost scales with the pool — the r4 race lost ~40%
+            # march time to an eager 32 -> 56 grow at demand 38.9
+            fit = max(floor, int(-(-nseg // 8)) * 8)
             grow = min(fit, 64)
-            if nseg * 1.1 > cap and grow > cap:
+            if nseg > 1.25 * cap and grow > cap:
                 self.tc = _replace(self.tc, seg_cap=grow)
                 self._build_steps(allow_async=True)
                 self._segcap_votes = 0

@@ -578,6 +578,97 @@ def main():
         print(f"bench: baked object render failed ({type(e).__name__})",
               file=sys.stderr, flush=True)
 
+    # ---- AR serving hot loop on the device (VERDICT r3 #5) -----------------
+    # SURVEY §3.4's serving loop is object move -> SH probe (1-6k rays
+    # through the field, reference insert/main.py:306-407) -> dirty-rect
+    # frame compose (insert/main.py:774-801,1113-1178). Round 3 measured
+    # the baked probe path 18x faster than the network path ON CPU; these
+    # are the same stages timed on the bench chip, through the real
+    # NGPInsertor (checkpoint save -> load round trip included in setup,
+    # excluded from the per-action timings, like a serving process).
+    ar = {}
+    if _arg("--ar_serving", "on", str) == "on":
+        try:
+            import types
+            from arnerf_tpu.training.ckpt import save_ckpt
+            ck = "/tmp/bench_ar_ckpt.npz"
+            save_ckpt(ck, params=trainer.params,
+                      grid_state=trainer.grid_state, step=trainer.step)
+            os.environ["ARNERF_INSERT_BAKE_RES"] = \
+                str(_arg("--ar_bake_res", 128))
+            hp = types.SimpleNamespace(
+                root_dir="", dataset_name="synthetic", split="train",
+                downsample=1.0, scale=cfg.scale, use_exposure=False,
+                use_EXR=False, distortion_loss_w=0, depth_loss_w=0,
+                loss_func="raw", batch_size=8192,
+                ray_sampling_strategy="all_images", num_epochs=1,
+                num_gpus=1, lr=1e-2, optimize_ext=False, random_bg=False,
+                val_batch_size=2 ** 20, eval_lpips=False, val_only=False,
+                no_save_test=True, exp_name="bench_ar", ckpt_path=ck,
+                weight_path=None, low_resolution=2.0,
+                max_pc_pts_num=int(1e4), no_global_SH=False,
+                train_SH_HDR_mapping=False, gen_probe_HDR_mapping=False,
+                render_HDR_mapping=False)
+            import arnerf_tpu.datasets as dsets
+            orig_ds = dsets.dataset_dict["synthetic"]
+            dsets.dataset_dict["synthetic"] = lambda **kw: orig_ds(
+                config=SyntheticConfig(img_wh=(256, 256), n_train=2,
+                                       n_test=1, gt_samples=32), **kw)
+            from arnerf_tpu.insert.main import NGPInsertor
+            ins = NGPInsertor(hp)
+            dsets.dataset_dict["synthetic"] = orig_ds
+            pt = jnp.asarray([0.0, 0.0, 0.1])
+            # bbox side must respect hp.low_resolution=2.0 (the dirty-rect
+            # pipeline renders the rect at half res; a 64-px rect with
+            # full-res normals trips a (4096,3)x(1024,3) broadcast)
+            Hb = Wb = 32
+            bbox = [[40, 40], [40 + Hb, 40 + Wb]]
+            nrm = jax.random.normal(jax.random.PRNGKey(5), (Hb, Wb, 3))
+            nrm = nrm / jnp.linalg.norm(nrm, axis=-1, keepdims=True)
+            dep = jnp.full((Hb, Wb), 1.0, jnp.float32)
+            ipose = jnp.asarray(ins.dataset.poses[0])
+
+            def time_ar(n=4):
+                sh = ins.generate_probe(pt, sh_probe=True)       # warm
+                _sync(sh)
+                t0 = time.time()
+                for i in range(n):
+                    sh = ins.generate_probe(pt + 0.01 * i, sh_probe=True)
+                _sync(sh)
+                dt_p = (time.time() - t0) / n
+                ins.last_rgb = ins.last_depth = None
+                ins.render_insert_object(
+                    nrm, dep, ipose, sh, full_return=False,
+                    use_sg_base=False, sg_use_self_shadow=False,
+                    model_bbox=bbox, model_bbox_last=None)        # warm
+                t0 = time.time()
+                for _ in range(n):
+                    ins.render_insert_object(
+                        nrm, dep, ipose, sh, full_return=False,
+                        use_sg_base=False, sg_use_self_shadow=False,
+                        model_bbox=bbox, model_bbox_last=bbox)
+                dt_f = (time.time() - t0) / n
+                return dt_p * 1e3, dt_f * 1e3
+
+            ins.use_baked = False
+            p_net, f_net = time_ar()
+            ar["ar_probe_ms_network"] = round(p_net, 1)
+            ar["ar_frame_ms_network"] = round(f_net, 1)
+            can_bake = (ins.cfg.cascades == 1
+                        and ins.cfg.rgb_act == "Sigmoid")
+            if can_bake:
+                ins.use_baked = True
+                t0 = time.time()
+                ins._get_baked()
+                ar["ar_bake_s"] = round(time.time() - t0, 1)
+                p_bk, f_bk = time_ar()
+                ar["ar_probe_ms_baked"] = round(p_bk, 1)
+                ar["ar_frame_ms_baked"] = round(f_bk, 1)
+            print(f"bench: AR serving {ar}", file=sys.stderr, flush=True)
+        except Exception as e:
+            print(f"bench: AR serving section failed ({type(e).__name__}: "
+                  f"{e})", file=sys.stderr, flush=True)
+
     result = {
         "metric": "train_steps_per_s_8192rays",
         "value": round(steady, 2),
@@ -614,6 +705,7 @@ def main():
             "bytes_per_step_GB_xla": round(bytes_per_step / 1e9, 3),
             "gflop_per_step_xla": round(flops_per_step / 1e9, 2),
             "bandwidth_utilization": round(util, 3),
+            **ar,
             "compute_dtype": cfg.compute_dtype,
             "device": str(dev),
             "steps_timed": steps,

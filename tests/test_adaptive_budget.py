@@ -129,14 +129,17 @@ def test_seg_pool_adapts_on_mean_demand():
     tr = make_trainer(samples_per_ray_budget=16)
     tr.on_train_start()
     assert tr._pool_mode and tr.tc.seg_cap == 64
-    # mean demand 10.5 -> fit ceil(13.65/8)*8 = 16, after 3 votes
+    # mean demand 10.5 -> fit ceil(10.5/8)*8 = 16, after 3 votes
     for _ in range(2):
         assert not tr._maybe_adapt_seg_cap(10.5)
     assert tr._maybe_adapt_seg_cap(10.5)
     assert tr.tc.seg_cap == 16
-    # mean demand rebounds past the pool: grow back instantly
-    assert tr._maybe_adapt_seg_cap(20.0)
-    assert tr.tc.seg_cap == 32          # ceil(26/8)*8
+    # demand within the quality-free striding band (<= 1.25x): no grow
+    assert not tr._maybe_adapt_seg_cap(19.0)
+    assert tr.tc.seg_cap == 16
+    # mean demand rebounds PAST the striding band: grow back instantly
+    assert tr._maybe_adapt_seg_cap(25.0)
+    assert tr.tc.seg_cap == 32          # ceil(25/8)*8
     # floor holds
     for _ in range(3):
         tr._maybe_adapt_seg_cap(1.0)

@@ -754,3 +754,109 @@ def test_pooled_marching_strides_under_pool_pressure():
     assert 0.3 * le < lb < 3.0 * le
     # most rays with demand still receive samples
     assert (np.asarray(b.counts) > 0).sum() >= N // 2
+
+def test_pooled_sort_selection_matches_search_when_budgets_fit():
+    """selection="sort" (one order-preserving sort compaction) must produce
+    EXACTLY the selection="search" results — same samples, same slots, same
+    segment layout — whenever neither the pool nor m_cap is under pressure
+    (the normal carved-grid regime). The two modes only diverge under
+    m_cap pressure (stride vs reference-style truncation)."""
+    from arnerf_tpu.ops.marching import (build_coarse_occupancy,
+                                         march_rays_train_pooled)
+    rng = np.random.default_rng(17)
+    G = 64
+    occ = (rng.random((1, G, G, G)) < 0.03).astype(np.uint8)
+    occ_flat = jnp.asarray(occ.reshape(-1))
+    coarse = build_coarse_occupancy(occ_flat, 1, G)
+
+    N = 32
+    rays_o = np.tile([0.0, 0.0, -1.2], (N, 1)).astype(np.float32)
+    tgt = rng.uniform(-0.4, 0.4, (N, 3)).astype(np.float32)
+    d = tgt - rays_o
+    rays_d = (d / np.linalg.norm(d, axis=1, keepdims=True)).astype(np.float32)
+    hits = jnp.asarray(ray_aabb_intersect_single(
+        jnp.asarray(rays_o), jnp.asarray(rays_d), jnp.zeros(3),
+        jnp.full(3, SCALE)))
+    noise = jnp.asarray(rng.random(N), jnp.float32)
+
+    kw = dict(scale=SCALE, cascades=1, exp_step_factor=0.0, grid_size=G,
+              max_samples=512,
+              n_candidates=num_lattice_steps(0.01, 0.01 + 2 * SQRT3 * SCALE,
+                                             0.0, 512, G, SCALE),
+              m_cap=4096, s_cap=4096, occ_coarse=coarse, seg_pool_cap=4096)
+    a = march_rays_train_pooled(jnp.asarray(rays_o), jnp.asarray(rays_d),
+                                hits, occ_flat, noise, selection="search",
+                                **kw)
+    b = march_rays_train_pooled(jnp.asarray(rays_o), jnp.asarray(rays_d),
+                                hits, occ_flat, noise, selection="sort",
+                                **kw)
+    assert int(a.rm_samples) <= 4096           # m_cap actually fits
+    assert int(a.total_nseg) <= 4096           # pool actually fits
+    np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+    np.testing.assert_array_equal(np.asarray(a.counts),
+                                  np.asarray(b.counts))
+    np.testing.assert_array_equal(np.asarray(a.ray_start),
+                                  np.asarray(b.ray_start))
+    v = np.asarray(a.valid)
+    np.testing.assert_array_equal(np.asarray(a.ray_idx)[v],
+                                  np.asarray(b.ray_idx)[v])
+    np.testing.assert_allclose(np.asarray(a.ts), np.asarray(b.ts),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.deltas), np.asarray(b.deltas),
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(a.xyzs), np.asarray(b.xyzs),
+                               atol=1e-6)
+    assert int(a.rm_samples) == int(b.rm_samples)
+
+
+def test_pooled_sort_selection_matches_search_under_pressure():
+    """selection="sort" shares the allocation + uniform-striding policy
+    with "search", so the two must be bit-identical even under heavy
+    m_cap AND pool pressure (the early-training regime). (An earlier
+    round-4 sort variant truncated overflow rays instead — the reference
+    kernel's policy — and cost ~2.7 dB on the 1000-step verify run; this
+    test pins that striding semantics survive in both modes.)"""
+    from arnerf_tpu.ops.marching import (build_coarse_occupancy,
+                                         march_rays_train_pooled)
+    rng = np.random.default_rng(23)
+    G = 64
+    occ = (rng.random((1, G, G, G)) < 0.15).astype(np.uint8)
+    occ_flat = jnp.asarray(occ.reshape(-1))
+    coarse = build_coarse_occupancy(occ_flat, 1, G)
+
+    N = 16
+    rays_o = np.tile([0.0, 0.0, -1.2], (N, 1)).astype(np.float32)
+    tgt = rng.uniform(-0.4, 0.4, (N, 3)).astype(np.float32)
+    d = tgt - rays_o
+    rays_d = (d / np.linalg.norm(d, axis=1, keepdims=True)).astype(np.float32)
+    hits = jnp.asarray(ray_aabb_intersect_single(
+        jnp.asarray(rays_o), jnp.asarray(rays_d), jnp.zeros(3),
+        jnp.full(3, SCALE)))
+    noise = jnp.asarray(rng.random(N), jnp.float32)
+
+    # pool 256 slots (vs demand >> that) AND m_cap 512: both pressured
+    kw = dict(scale=SCALE, cascades=1, exp_step_factor=0.0, grid_size=G,
+              max_samples=512,
+              n_candidates=num_lattice_steps(0.01, 0.01 + 2 * SQRT3 * SCALE,
+                                             0.0, 512, G, SCALE),
+              s_cap=4096, occ_coarse=coarse, seg_pool_cap=256, m_cap=256)
+    a = march_rays_train_pooled(jnp.asarray(rays_o), jnp.asarray(rays_d),
+                                hits, occ_flat, noise, selection="search",
+                                **kw)
+    b = march_rays_train_pooled(jnp.asarray(rays_o), jnp.asarray(rays_d),
+                                hits, occ_flat, noise, selection="sort",
+                                **kw)
+    assert int(a.total_nseg) > 256             # pool pressure is real
+    assert int(a.rm_samples) > 256             # m_cap pressure is real
+    np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+    np.testing.assert_array_equal(np.asarray(a.counts),
+                                  np.asarray(b.counts))
+    np.testing.assert_array_equal(np.asarray(a.ray_start),
+                                  np.asarray(b.ray_start))
+    v = np.asarray(a.valid)
+    np.testing.assert_array_equal(np.asarray(a.ray_idx)[v],
+                                  np.asarray(b.ray_idx)[v])
+    np.testing.assert_allclose(np.asarray(a.ts), np.asarray(b.ts),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.deltas), np.asarray(b.deltas),
+                               atol=1e-6)
