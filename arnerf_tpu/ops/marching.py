@@ -173,12 +173,13 @@ def build_coarse_occupancy(occ_flat, cascades: int, grid_size: int,
 
 @partial(jax.jit, static_argnames=(
     "scale", "cascades", "exp_step_factor", "grid_size", "max_samples",
-    "n_candidates", "m_cap", "s_cap", "seg_cap"))
+    "n_candidates", "m_cap", "s_cap", "seg_cap", "selection"))
 def march_rays_train(rays_o, rays_d, hits_t, occ_flat, noise, *,
                      scale: float, cascades: int, exp_step_factor: float,
                      grid_size: int, max_samples: int, n_candidates: int,
                      m_cap: int, s_cap: int, occ_coarse=None,
-                     seg_cap: int = 64) -> MarchResults:
+                     seg_cap: int = 64,
+                     selection: str = "search") -> MarchResults:
     """March N rays into a compact (M=m_cap) sample buffer.
 
     rays_o, rays_d: (N, 3); hits_t: (N, 2) from ray_aabb_intersect_single
@@ -192,6 +193,13 @@ def march_rays_train(rays_o, rays_d, hits_t, occ_flat, noise, *,
     single-level path as long as a ray intersects at most `seg_cap`
     occupied segments (the dilation makes the coarse test a strict
     superset).
+
+    selection="sort" replaces the sample-compaction binary searches with
+    a ROW-LOCAL sort of the (N, Kf) eligibility layout (same exact-
+    equality argument as march_rays_train_pooled's sort mode; the
+    allocation + striding policy is untouched). This is the warmup /
+    multi-cascade analogue of the pooled sort marcher — the trainer's
+    warmup blocks at seg_cap=0 run this path.
     """
     N = rays_o.shape[0]
     K = n_candidates
@@ -260,31 +268,59 @@ def march_rays_train(rays_o, rays_d, hits_t, occ_flat, noise, *,
     elig = occ & (t_cand < t2[:, None]) & ray_ok[:, None] & slot_mask
 
     # ---- order-preserving compaction --------------------------------------
-    c = jnp.cumsum(elig.astype(jnp.int32), axis=1)             # (N, Kf)
-    demand = jnp.minimum(c[:, -1], s_cap)                      # (N,)
+    demand = jnp.minimum(jnp.sum(elig.astype(jnp.int32), axis=1), s_cap)
     total_demand = jnp.sum(demand)
     ratio = jnp.minimum(1.0, m_cap / jnp.maximum(total_demand, 1).astype(jnp.float32))
     alloc = jnp.floor(demand.astype(jnp.float32) * ratio).astype(jnp.int32)
     stride = demand.astype(jnp.float32) / jnp.maximum(alloc, 1).astype(jnp.float32)
     ray_start = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                                  jnp.cumsum(alloc)[:-1].astype(jnp.int32)])
-
     m = jnp.arange(m_cap, dtype=jnp.int32)
-    r = jnp.clip(_upper_bound(ray_start, m), 0, N - 1)         # (M,)
-    s = m - ray_start[r]
-    valid = s < alloc[r]
-    # occupied-ordinal along the ray, strided when over budget
-    j = jnp.floor(s.astype(jnp.float32) * stride[r]).astype(jnp.int32)
-    j = jnp.minimum(j, jnp.maximum(demand[r] - 1, 0))
-    q_sel = _lower_bound_rows(c.reshape(-1), r, j + 1, Kf)     # (M,)
-    q_sel = jnp.minimum(q_sel, Kf - 1)
-    k_sel = ks.reshape(-1)[r * Kf + q_sel]                     # global step
 
-    # ---- reconstruct sample attributes from the closed form ----------------
-    t_m = lt(t1[r], k_sel)
-    dt_m = cd(t_m) * stride[r]
-    dirs = rays_d[r]
-    xyzs = rays_o[r] + t_m[:, None] * dirs
+    if selection == "sort":
+        # row-local sort compaction: per-row keys (elig ? col : Kf+col)
+        # are unique, so one unstable (N, Kf) sort packs each row's
+        # eligible columns to the front in order — the j-th eligible
+        # candidate of ray r is sel_col[r, j], a direct read. Per-ray
+        # values ride one packed (N, 11) row gather (see pooled marcher).
+        colsK = jnp.broadcast_to(jnp.arange(Kf, dtype=jnp.int32)[None, :],
+                                 (N, Kf))
+        keyK = jnp.where(elig, colsK, Kf + colsK)
+        skeyK = jax.lax.sort(keyK, dimension=1, is_stable=False)
+        sel_col = jnp.where(skeyK < Kf, skeyK, Kf - 1)
+        r = jnp.minimum(_starts_to_rows(ray_start, m_cap), N - 1)
+        tab = jnp.stack([
+            ray_start.astype(jnp.float32), alloc.astype(jnp.float32),
+            stride, demand.astype(jnp.float32), t1], axis=1)
+        tab = jnp.concatenate([tab, rays_o, rays_d], axis=1)   # (N, 11)
+        row = tab[r]                                           # (M, 11)
+        s = m - row[:, 0].astype(jnp.int32)
+        valid = s < row[:, 1].astype(jnp.int32)
+        j = jnp.floor(s.astype(jnp.float32) * row[:, 2]).astype(jnp.int32)
+        j = jnp.minimum(j, jnp.maximum(row[:, 3].astype(jnp.int32) - 1, 0))
+        q_sel = sel_col.reshape(-1)[r * Kf + j]
+        k_sel = ks.reshape(-1)[r * Kf + q_sel]                 # global step
+        t_m = lt(row[:, 4], k_sel)
+        dt_m = cd(t_m) * row[:, 2]
+        dirs = row[:, 8:11]
+        xyzs = row[:, 5:8] + t_m[:, None] * dirs
+    else:
+        c = jnp.cumsum(elig.astype(jnp.int32), axis=1)         # (N, Kf)
+        r = jnp.clip(_upper_bound(ray_start, m), 0, N - 1)     # (M,)
+        s = m - ray_start[r]
+        valid = s < alloc[r]
+        # occupied-ordinal along the ray, strided when over budget
+        j = jnp.floor(s.astype(jnp.float32) * stride[r]).astype(jnp.int32)
+        j = jnp.minimum(j, jnp.maximum(demand[r] - 1, 0))
+        q_sel = _lower_bound_rows(c.reshape(-1), r, j + 1, Kf)  # (M,)
+        q_sel = jnp.minimum(q_sel, Kf - 1)
+        k_sel = ks.reshape(-1)[r * Kf + q_sel]                 # global step
+
+        # ---- reconstruct sample attributes from the closed form ---------
+        t_m = lt(t1[r], k_sel)
+        dt_m = cd(t_m) * stride[r]
+        dirs = rays_d[r]
+        xyzs = rays_o[r] + t_m[:, None] * dirs
     fvalid = valid.astype(t_m.dtype)
     return MarchResults(
         xyzs=xyzs * fvalid[:, None], dirs=dirs * fvalid[:, None],

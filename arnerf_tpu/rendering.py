@@ -110,7 +110,7 @@ def render_train(params, grid_state, rays_o, rays_d, key, cfg: NGPConfig, *,
             n_candidates=default_candidates(cfg, exp_step_factor,
                                             max_samples),
             m_cap=m_cap, s_cap=s_cap, occ_coarse=occ_coarse,
-            seg_cap=max(seg_cap, 1))
+            seg_cap=max(seg_cap, 1), selection=selection)
 
     sample_exposure = None
     if exposure is not None:

@@ -871,7 +871,7 @@ def sample_baked(rows, xyz, sh_d, B: int, scale: float,
 @partial(jax.jit, static_argnames=(
     "B", "scale", "interp", "T_threshold", "n_steps", "samples_per_round",
     "max_rounds", "return_state", "compact", "color_window", "block4",
-    "phase_floor", "phase_max"))
+    "phase_floor", "phase_max", "phase_ratio"))
 def render_baked_uniform(rows, aabb_lo, aabb_hi, rays_o, rays_d, key, *,
                          B: int, scale: float, interp: str = "stochastic",
                          T_threshold: float = 1e-2, n_steps: int = 128,
@@ -880,6 +880,7 @@ def render_baked_uniform(rows, aabb_lo, aabb_hi, rays_o, rays_d, key, *,
                          mip=None, compact: bool = True, sigma=None,
                          color_window: int = 8, block4: bool = False,
                          phase_floor: int = 4096, phase_max: int = 7,
+                         phase_ratio: float = 2.0,
                          row_index=None, rows_q=None, t_far=None,
                          mip_dist=None):
     """Uniform-stepping baked render chunk: one compiled program per bucket,
@@ -1193,10 +1194,20 @@ def render_baked_uniform(rows, aabb_lo, aabb_hi, rays_o, rays_d, key, *,
     # state-carrying callers whose state shape must persist). A compaction
     # costs an argsort + gathers (~1-2 ms); a spared full-width round costs
     # tens of ms (frame anatomy, DESIGN.md).
+    # phase ladder: alive-first prefixes shrinking by phase_ratio. A phase
+    # exits as soon as its alive set fits the NEXT prefix, so a finer
+    # ratio (e.g. 1.4) lets mostly-dead rounds stop paying full width at
+    # ~70% alive instead of 50% — each extra phase costs one argsort
+    # compaction (~1-2 ms) + compile time; a spared wide round costs tens
+    # of ms of fine-gather rows (frame anatomy, DESIGN.md round 4).
     sizes = [N]
     if compact and init_state is None and not return_state:
-        while len(sizes) < phase_max and sizes[-1] // 2 >= phase_floor:
-            sizes.append(sizes[-1] // 2)
+        while len(sizes) < phase_max:
+            nxt = max(phase_floor,
+                      (int(sizes[-1] / phase_ratio) + 255) // 256 * 256)
+            if nxt >= sizes[-1]:
+                break
+            sizes.append(nxt)
 
     ro_p, rd_p, sh_p, te_p = rays_o, rays_d, sh_d, t_end
     carry = (*state[:5], state[5], jnp.int32(0))
@@ -1321,8 +1332,17 @@ def render_baked(baked: BakedField, grid_state, rays_o, rays_d, cfg, *,
                  phase1_rounds: int = 0, max_samples=None, prehit=None,
                  dt_scale=None, exp_step_factor: float = 0.0,
                  stats: dict = None, color_window: int = 8, img_wh=None,
-                 mesh_depth_map=None):
+                 mesh_depth_map=None, dist_prelude: bool = False):
     """Full-frame baked render.
+
+    dist_prelude=False: the single-cascade sphere-traced distance prelude
+    measured SLOWER than the vectorized stride-ladder mip prelude on the
+    chip (object scene 3.21 vs 5.67 FPS, bench_runs/r4_knobs_object.log
+    "mip_dist off" row — the while-loop's ~100 serial probe rounds lose
+    to ONE (N, Kc) batch gather; same lesson as the sort-selection
+    marcher, in reverse). Kept as an opt-in for scenes with very long
+    empty approaches; multi-cascade scenes DO use the distance field
+    (their alternative was no prelude at all).
 
     Host-side work is pure math + one output readback: rays are culled
     against the TIGHT occupied-voxel AABB in numpy (background dies with
@@ -1385,7 +1405,8 @@ def render_baked(baked: BakedField, grid_state, rays_o, rays_d, cfg, *,
                 samples_per_round=samples_per_round, mip=baked.mip,
                 sigma=baked.sigma, color_window=color_window, block4=blocked,
                 row_index=baked.row_index, rows_q=baked.rows_q, t_far=t_far,
-                mip_dist=getattr(baked, "mip_dist", None))
+                mip_dist=(getattr(baked, "mip_dist", None)
+                          if dist_prelude else None))
         opacity[sl] = np.asarray(res["opacity"])[:n]
         depth[sl] = np.asarray(res["depth"])[:n]
         rgb[sl] = np.asarray(res["rgb"])[:n]
@@ -1400,7 +1421,8 @@ def baked_frame_device_fn(baked: BakedField, rays_o, rays_d, *,
                           interp: str = "stochastic",
                           T_threshold: float = 1e-2, n_steps: int = 128,
                           samples_per_round: int = 16, chunk: int = 1 << 18,
-                          color_window: int = 8, img_wh=None):
+                          color_window: int = 8, img_wh=None,
+                          dist_prelude: bool = False):
     """Zero-readback frame function for device-side FPS measurement.
 
     Culling/padding/bucketing happens once here; the returned frame(key)
@@ -1440,7 +1462,8 @@ def baked_frame_device_fn(baked: BakedField, rays_o, rays_d, *,
                     sigma=baked.sigma, color_window=color_window,
                     block4=blocked,
                     row_index=baked.row_index, rows_q=baked.rows_q,
-                    mip_dist=getattr(baked, "mip_dist", None))
+                    mip_dist=(getattr(baked, "mip_dist", None)
+                              if dist_prelude else None))
             outs.append(res["rgb"])
         return reduce_fn(outs) if outs else jnp.float32(0.0)
 

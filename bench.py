@@ -492,18 +492,20 @@ def main():
             else 0.0
         res = render_baked(baked, trainer.grid_state,
                            rays_o, rays_d, cfg, T_threshold=1e-2,
-                           img_wh=(800, 800))  # warm
+                           color_window=4, img_wh=(800, 800))  # warm
         _sync(res["rgb"])
         t0 = time.time()
         for i in range(3):
             res = render_baked(baked, trainer.grid_state, rays_o, rays_d,
                                cfg, key=jax.random.PRNGKey(i),
-                               T_threshold=1e-2, img_wh=(800, 800))
+                               T_threshold=1e-2, color_window=4,
+                               img_wh=(800, 800))
             _sync(res["rgb"])
         fps_baked = 3 / (time.time() - t0)
         # device-side: all bucket dispatches, one scalar sync, keys premade
         frame = baked_frame_device_fn(baked, rays_o, rays_d,
-                                      T_threshold=1e-2, img_wh=(800, 800))
+                                      T_threshold=1e-2, color_window=4,
+                                      img_wh=(800, 800))
         fkeys = list(jax.random.split(jax.random.PRNGKey(7), 9))
         _sync(frame(fkeys[0]))                                   # warm
         t0 = time.time()
@@ -540,7 +542,8 @@ def main():
                                         resolution=_arg("--bake_res", 256))
         _sync(baked_obj.rows)
         frame_o = baked_frame_device_fn(baked_obj, rays_o, rays_d,
-                                        T_threshold=1e-2, img_wh=(800, 800))
+                                        T_threshold=1e-2, color_window=4,
+                                        img_wh=(800, 800))
         fkeys = list(jax.random.split(jax.random.PRNGKey(11), 9))
         _sync(frame_o(fkeys[0]))                                 # warm
         t0 = time.time()
@@ -557,7 +560,8 @@ def main():
         ro256, rd256 = get_rays(d256, pose)
         res_o = render_baked(baked_obj, trainer.grid_state, ro256, rd256,
                              cfg, key=jax.random.PRNGKey(3),
-                             T_threshold=1e-2, img_wh=(256, 256))
+                             T_threshold=1e-2, color_window=4,
+                             img_wh=(256, 256))
         rdn = rd256 / jnp.linalg.norm(rd256, axis=-1, keepdims=True)
         gt_o, _, _ = render_analytic(ro256, rdn, cfg.scale,
                                      n_samples=512, object_only=True)

@@ -51,21 +51,23 @@ def make_fixture(root, wh=800, views=100, test_views=8, samples=256,
         os.makedirs(os.path.join(root, split), exist_ok=True)
         for i in range(n):
             th = 2 * np.pi * (i + phase) / n
-            phi = rng.uniform(-0.35, 0.08)
+            phi = rng.uniform(-0.35, 0.08)   # must stay in the RNG stream
             eye = RADIUS * np.array([np.cos(th) * np.cos(phi), np.sin(phi),
                                      np.sin(th) * np.cos(phi)])
             c2w = look_at_pose(eye)
-            ro, rd = get_rays(dirs, jnp.asarray(c2w))
-            rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
-            outs = []
-            for s in range(0, ro.shape[0], chunk):
-                rgb, _, _ = render_analytic(ro[s:s + chunk], rd[s:s + chunk],
-                                            SCALE, n_samples=samples)
-                outs.append(np.asarray(rgb))
-            img = np.clip(np.concatenate(outs), 0, 1).reshape(H, W, 3)
             name = f"r_{i}"
-            imageio.imsave(os.path.join(root, split, f"{name}.png"),
-                           (img * 255 + 0.5).astype(np.uint8))
+            png = os.path.join(root, split, f"{name}.png")
+            if not os.path.exists(png):   # resumable (pool drops mid-run)
+                ro, rd = get_rays(dirs, jnp.asarray(c2w))
+                rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+                outs = []
+                for s in range(0, ro.shape[0], chunk):
+                    rgb, _, _ = render_analytic(ro[s:s + chunk],
+                                                rd[s:s + chunk],
+                                                SCALE, n_samples=samples)
+                    outs.append(np.asarray(rgb))
+                img = np.clip(np.concatenate(outs), 0, 1).reshape(H, W, 3)
+                imageio.imsave(png, (img * 255 + 0.5).astype(np.uint8))
             blender = c2w.copy()
             blender[:, 1:3] *= -1
             mat = np.eye(4, dtype=np.float64)

@@ -57,19 +57,11 @@ def main():
     tr = NeRFTrainer(cfg, tc, train_ds, test_ds, key=jax.random.PRNGKey(0))
     print("sweep: training 512 steps", file=sys.stderr, flush=True)
     tr.fit(n_steps=512, log_every=256)
-    t0 = time.time()
-    baked = bake_ngp(tr.model_params, tr.grid_state, cfg, resolution=B)
-    device_sync(baked.rows)
-    print(f"sweep: baked in {time.time() - t0:.0f}s", flush=True)
-
     f800 = 0.5 * 800 / np.tan(0.5 * np.deg2rad(scfg.fov_deg))
     K800 = np.array([[f800, 0, 400], [0, f800, 400], [0, 0, 1]], np.float32)
     dirs800 = jnp.asarray(get_ray_directions(800, 800, K800))
     pose = jnp.asarray(test_ds.poses[0])
     rays_o, rays_d = get_rays(dirs800, pose)
-
-    baked_obj = bake_analytic_field(scale=cfg.scale, resolution=B)
-    device_sync(baked_obj.rows)
 
     def frame_fn(bk, **kw):
         buckets, _, blocked = cull_and_buckets(bk, rays_o, rays_d, 1 << 18,
@@ -89,18 +81,21 @@ def main():
             return reduce_fn(outs) if outs else jnp.float32(0.0)
         return frame
 
+    # Round-1 sweep findings (bench_runs/r4_knobs_round1.log): S8 is 3x
+    # WORSE than S16 (0.24 vs 0.69 slab FPS) and finer phase ladders are
+    # neutral (0.70) — the frame is dominated by PER-ROUND fixed work,
+    # led by the color-bucket fetch: Wc rows/ray/round REGARDLESS of S
+    # (2 gathers each: narrow row_index + 32 B rows_q). Hence round 2
+    # probes LARGER S (fewer rounds -> fewer color fetches) and smaller
+    # color windows.
     variants = [
-        ("base (S16 floor4096 max7 n128)", dict()),
-        ("S8", dict(samples_per_round=8)),
-        ("floor2048 max9", dict(phase_floor=2048, phase_max=9)),
-        ("S8 floor2048 max9", dict(samples_per_round=8, phase_floor=2048,
-                                   phase_max=9)),
-        ("S8 floor1024 max10", dict(samples_per_round=8, phase_floor=1024,
-                                    phase_max=10)),
-        ("n96", dict(n_steps=96)),
-        ("S8 floor2048 max9 n96", dict(samples_per_round=8,
-                                       phase_floor=2048, phase_max=9,
-                                       n_steps=96)),
+        ("base (S16 Wc8)", dict()),
+        ("S32", dict(samples_per_round=32)),
+        ("S48", dict(samples_per_round=48)),
+        ("Wc4", dict(color_window=4)),
+        ("S32 Wc4", dict(samples_per_round=32, color_window=4)),
+        ("S64", dict(samples_per_round=64)),
+        ("S32 Wc16", dict(samples_per_round=32, color_window=16)),
     ]
     # quality anchor rays (256^2, full scene)
     f256 = 0.5 * 256 / np.tan(0.5 * np.deg2rad(scfg.fov_deg))
@@ -111,8 +106,20 @@ def main():
     gt, _, _ = render_analytic(ro256, rdn, cfg.scale, n_samples=512,
                                object_only=True)
 
-    for name, kw in variants:
-        for label, bk in (("slab", baked), ("object", baked_obj)):
+    # scene-major: one 256^3 bake resident at a time (two at once OOM'd
+    # the pool slice)
+    import gc
+    for label in ("slab", "object"):
+        if label == "slab":
+            t0 = time.time()
+            bk = bake_ngp(tr.model_params, tr.grid_state, cfg, resolution=B)
+            device_sync(bk.rows)
+            print(f"sweep: slab baked in {time.time() - t0:.0f}s",
+                  flush=True)
+        else:
+            bk = bake_analytic_field(scale=cfg.scale, resolution=B)
+            device_sync(bk.rows)
+        for name, kw in variants:
             fr = frame_fn(bk, **kw)
             keys = list(jax.random.split(jax.random.PRNGKey(7),
                                          n_frames + 1))
@@ -137,6 +144,8 @@ def main():
                 mse = float(jnp.mean((jnp.clip(pred, 0, 1) - gt) ** 2))
                 extra = f" | {-10 * np.log10(max(mse, 1e-10)):.1f} dB"
             print(f"[{name}] {label}: {fps:.2f} FPS{extra}", flush=True)
+        del bk
+        gc.collect()
 
 
 if __name__ == "__main__":

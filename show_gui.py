@@ -113,7 +113,9 @@ class NGPGUI:
                 self.baked, self.grid_state, rays_o, rays_d, self.cfg,
                 key=jax.random.PRNGKey(self._frame),
                 exp_step_factor=exp_step_factor, T_threshold=1e-2,
-                img_wh=(cam.W, cam.H))
+                # interactive spec: color_window 4 (chip sweep r4 —
+                # +2.4x object FPS at -0.34 dB on the trained scene)
+                color_window=4, img_wh=(cam.W, cam.H))
             out['total_samples'] = 0
         else:
             kwargs = {}

@@ -35,7 +35,11 @@ def extract_invocations(path):
         toks = toks[toks.index("train.py") + 1:]
         argv = []
         for t in toks:
-            # shell variables (paths/scene names/per-scene scales) -> dummy
+            if t == "$EXTRA_ARGS":
+                # the optional args passthrough expands to nothing by
+                # default — drop (other $VARs are flag VALUES -> dummy)
+                continue
+            # embedded shell variables (paths/scene names/scales) -> dummy
             argv.append("1" if "$" in t else t)
         calls.append(argv)
     return calls

@@ -860,3 +860,46 @@ def test_pooled_sort_selection_matches_search_under_pressure():
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(a.deltas), np.asarray(b.deltas),
                                atol=1e-6)
+
+def test_flat_sort_selection_matches_search():
+    """march_rays_train's row-local sort selection must be bit-identical
+    to the search path, single-level and two-level, with and without
+    m_cap pressure (the warmup/multi-cascade marcher runs this path)."""
+    from arnerf_tpu.ops.marching import build_coarse_occupancy
+    rng = np.random.default_rng(31)
+    occ = make_sphere_grid(radius=0.42)
+    occ_flat = jnp.asarray(occ.reshape(-1))
+    coarse = build_coarse_occupancy(occ_flat, 1, GRID)
+
+    N = 24
+    rays_o = np.tile([0.0, 0.0, -1.2], (N, 1)).astype(np.float32)
+    tgt = rng.uniform(-0.35, 0.35, (N, 3)).astype(np.float32)
+    d = tgt - rays_o
+    rays_d = (d / np.linalg.norm(d, axis=1, keepdims=True)).astype(np.float32)
+    hits = jnp.asarray(ray_aabb_intersect_single(
+        jnp.asarray(rays_o), jnp.asarray(rays_d), jnp.zeros(3),
+        jnp.full(3, SCALE)))
+    noise = jnp.asarray(rng.random(N), jnp.float32)
+
+    for m_cap in (4096, 256):                  # fits / pressured
+        for oc in (None, coarse):              # single-level / two-level
+            kw = march_kwargs(m_cap=m_cap, s_cap=512, occ_coarse=oc)
+            a = march_rays_train(jnp.asarray(rays_o), jnp.asarray(rays_d),
+                                 hits, occ_flat, noise,
+                                 selection="search", **kw)
+            b = march_rays_train(jnp.asarray(rays_o), jnp.asarray(rays_d),
+                                 hits, occ_flat, noise,
+                                 selection="sort", **kw)
+            np.testing.assert_array_equal(np.asarray(a.valid),
+                                          np.asarray(b.valid))
+            np.testing.assert_array_equal(np.asarray(a.counts),
+                                          np.asarray(b.counts))
+            v = np.asarray(a.valid)
+            np.testing.assert_array_equal(np.asarray(a.ray_idx)[v],
+                                          np.asarray(b.ray_idx)[v])
+            np.testing.assert_allclose(np.asarray(a.ts), np.asarray(b.ts),
+                                       atol=1e-6)
+            np.testing.assert_allclose(np.asarray(a.deltas),
+                                       np.asarray(b.deltas), atol=1e-6)
+            np.testing.assert_allclose(np.asarray(a.xyzs),
+                                       np.asarray(b.xyzs), atol=1e-6)
