@@ -421,8 +421,11 @@ def march_rays_train_pooled(rays_o, rays_d, hits_t, occ_flat, noise, *,
     cflat = (nc[..., 0] * CG + nc[..., 1]) * CG + nc[..., 2]
     seg_elig = (occ_coarse[cflat] > 0) & (t_seg < t2[:, None]) \
         & ray_ok[:, None]
-    c1 = jnp.cumsum(seg_elig.astype(jnp.int32), axis=1)        # (N, K1)
-    dseg = c1[:, -1]                                           # (N,)
+    if selection == "sort":
+        dseg = jnp.sum(seg_elig.astype(jnp.int32), axis=1)     # (N,)
+    else:
+        c1 = jnp.cumsum(seg_elig.astype(jnp.int32), axis=1)    # (N, K1)
+        dseg = c1[:, -1]                                       # (N,)
     max_nseg = jnp.max(dseg)
     total_nseg = jnp.sum(dseg)
 

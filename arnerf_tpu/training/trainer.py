@@ -109,20 +109,39 @@ class TrainConfig:
         return self.num_epochs * self.steps_per_epoch
 
 
-def cosine_epoch_schedule(lr0: float, num_epochs: int, steps_per_epoch: int):
+def cosine_epoch_schedule(lr0: float, num_epochs: int, steps_per_epoch: int,
+                          warmup_steps: int = 0):
     """CosineAnnealingLR stepped per epoch, eta_min = lr/30
-    (reference train.py:150-152)."""
+    (reference train.py:150-152), plus a linear LR ramp over the grid
+    warmup. The ramp is a deliberate TPU-side deviation: the reference
+    rides apex FusedAdam's fp16 dynamic grad scaler through the violent
+    early steps at its benchmark lr=2e-2; our f32 Adam + bf16 field has
+    no scaler, and the 800x800 benchmark-schedule run diverged
+    REPEATEDLY at steps ~190-240 (non-finite loss, 8 snapshot-resumes
+    exhausted — bench_runs/r4_realscale_divergence.log). The ramp
+    activates only ABOVE the measured stability cliff (r3 LR sweep:
+    1e-2 stable with no headroom above), so the proven lr<=1e-2
+    schedules — bench races, the pinned-quality CI run — are
+    bit-unchanged."""
     eta_min = lr0 / 30.0
+    LR_CLIFF = 1.05e-2
+    ramp_steps = warmup_steps if lr0 > LR_CLIFF else 0
 
     def sched(step):
         epoch = jnp.minimum(step // steps_per_epoch, num_epochs)
         frac = epoch.astype(jnp.float32) / num_epochs
-        return eta_min + 0.5 * (lr0 - eta_min) * (1 + jnp.cos(jnp.pi * frac))
+        lr = eta_min + 0.5 * (lr0 - eta_min) * (1 + jnp.cos(jnp.pi * frac))
+        if ramp_steps > 0:
+            ramp = jnp.clip((step.astype(jnp.float32) + 1.0) / ramp_steps,
+                            0.0, 1.0)
+            lr = lr * ramp
+        return lr
     return sched
 
 
 def make_optimizer(tc: TrainConfig):
-    sched = cosine_epoch_schedule(tc.lr, tc.num_epochs, tc.steps_per_epoch)
+    sched = cosine_epoch_schedule(tc.lr, tc.num_epochs, tc.steps_per_epoch,
+                                  warmup_steps=tc.warmup_steps)
     # FusedAdam(lr, eps=1e-15) equivalent (reference train.py:146)
     net_opt = optax.adam(learning_rate=sched, eps=1e-15)
     if not tc.optimize_ext:

@@ -21,7 +21,9 @@ fi
 mkdir -p "$ROOT/run"
 cd "$ROOT/run"
 ln -sf "$REPO/train.py" train.py
-export PYTHONPATH="$REPO"
+# APPEND to PYTHONPATH: /root/.axon_site (sitecustomize) must
+# stay visible or the axon PJRT plugin never registers
+export PYTHONPATH="$REPO:${PYTHONPATH}"
 ROOT_DIR="$ROOT/Synthetic_NeRF" SCENES="Lego" EPOCHS="$EPOCHS" \
     bash "$REPO/benchmarking/benchmark_synthetic_nerf.sh"
 echo "== artifacts:"
