@@ -76,7 +76,7 @@ def dense_segment_sum(idx, vals, num_rows: int, method: str = "auto"):
 
 def dense_segment_sum_batched(idx, val_cols, sizes, method: str = "auto",
                               stable: bool = False, pack: bool = True,
-                              group: bool = True):
+                              group: bool = False):
     """Per-level dense segment sums in one batched pipeline.
 
     idx:      (L, M) int32, level-LOCAL rows (idx[l] in [0, sizes[l]))
@@ -118,11 +118,13 @@ def dense_segment_sum_batched(idx, val_cols, sizes, method: str = "auto",
                 for l in range(L)]
         return jnp.concatenate(outs, axis=0)
 
-    # level grouping: every level's query block pads to the GROUP's
-    # T_max, so one batch mixing 4k-row and 512k-row levels wastes most
-    # of the small levels' rows on INT32_MAX padding. Split into two
-    # contiguous runs (sizes are nondecreasing) when that removes >= 15%
-    # of total sorted rows — measured sort cost is ~linear in rows.
+    # level grouping (default OFF — measured SLOWER on chip): splitting
+    # the batch into two contiguous runs removes ~17% of sorted rows
+    # (query padding to the batch T_max), but two narrower batched sorts
+    # lose to one wide one — 66.6 vs 56.3 ms at the bench shape
+    # (scripts/tpu_segsum_group.py; lane parallelism across the L dim +
+    # per-sort fixed cost beat the row saving). Kept as an option for
+    # future shapes where the padding fraction is larger.
     if group and L > 1 and min(sizes) < max(sizes):
         best_k, best_rows = 0, L * (M + max(sizes))
         for k in range(1, L):
