@@ -197,9 +197,48 @@ class NGPInsertor:
             t = time.time()
             self._baked = bake_ngp(self.params, self.grid_state, self.cfg,
                                    resolution=res, n_dirs=16)
+            self._probe_fused = None     # fused probe closes over the bake
             print(f'insert: baked {res}^3 probe field in '
                   f'{time.time() - t:.1f}s')
         return self._baked
+
+    def _probe_fused_fn(self):
+        """ONE-dispatch SH probe for serving (SURVEY §3.4 hot loop).
+
+        The bench r4 device measurement showed the probe DISPATCH-bound:
+        ~440 ms through render_baked's host-side bucket path (per-bucket
+        readbacks + key splits, each a ~38 ms tunnel roundtrip) for a few
+        thousand rays of actual work. This fuses baked render + SH-
+        background blend + SH9 projection into a single jitted program
+        over the STATIC probe direction set; only the (9, 3) coefficients
+        (plus the cubemap rgb, consumed downstream by rotate/relight) come
+        back per call."""
+        if getattr(self, '_probe_fused', None) is not None:
+            return self._probe_fused
+        from ..rendering_baked import render_baked_uniform
+        from .sh_math import get_sh_val, get_sh_coeff
+        baked = self._get_baked()
+        dirs = self.sh_ray_dirs.reshape(-1, 3)
+        n = dirs.shape[0]
+        pad = (-n) % 1024
+        dirs_p = (jnp.concatenate([dirs, jnp.ones((pad, 3))])
+                  if pad else dirs)
+
+        @jax.jit
+        def fused(pt, sh_bkg, key):
+            ro = jnp.broadcast_to(jnp.asarray(pt)[None], dirs_p.shape)
+            res = render_baked_uniform(
+                baked.rows, baked.aabb_lo, baked.aabb_hi, ro, dirs_p, key,
+                B=baked.resolution, scale=baked.scale, T_threshold=1e-2,
+                mip=baked.mip, sigma=baked.sigma,
+                row_index=baked.row_index, rows_q=baked.rows_q)
+            rgb = res['rgb'][:n]
+            rgb_bg = get_sh_val(sh_bkg, dirs, clamp_positive=True)
+            rgb = rgb + rgb_bg * (1.0 - res['opacity'][:n, None])
+            return rgb, get_sh_coeff(dirs[None], rgb[None])
+
+        self._probe_fused = fused
+        return fused
 
     def _probe_render(self, rays_o, ray_dirs, *, sh_bkg=None,
                       blend_bkg=True, output_radiance=False,
@@ -362,6 +401,15 @@ class NGPInsertor:
             else:
                 self.sh_ray_dirs = get_cubemap_rays(1, 32)
         ray_dirs = self.sh_ray_dirs.reshape(-1, 3)
+        if (self.use_baked and sh_probe and not return_envmap
+                and not self.hparams.use_EXR
+                and not self.hparams.gen_probe_HDR_mapping):
+            # serving fast path: one dispatch for render + blend + SH9
+            fused = self._probe_fused_fn()
+            self.key, k = jax.random.split(self.key)
+            rgb, coeff = fused(jnp.asarray(pt), self.global_sh[0], k)
+            self.cubemap_rgb = rgb
+            return coeff
         rays_o = jnp.broadcast_to(jnp.asarray(pt)[None], ray_dirs.shape)
         rgb, _ = self._probe_render(
             rays_o, ray_dirs, sh_bkg=self.global_sh[0],

@@ -99,6 +99,18 @@ def test_generate_probe_baked_matches_network(insertor):
     insertor.use_baked = True
     try:
         sh_baked = np.asarray(insertor.generate_probe(pt, sh_probe=True))
+        # generate_probe now routes through the FUSED one-dispatch serving
+        # path; pin it against the bucketed baked path explicitly (same
+        # field + quadrature, only stochastic jitter keys differ)
+        ray_dirs = insertor.sh_ray_dirs.reshape(-1, 3)
+        rays_o = jnp.broadcast_to(pt[None], ray_dirs.shape)
+        rgb_legacy, _ = insertor._probe_render(
+            rays_o, ray_dirs, sh_bkg=insertor.global_sh[0])
+        from arnerf_tpu.insert.sh_math import get_sh_coeff
+        sh_legacy = np.asarray(get_sh_coeff(ray_dirs[None],
+                                            rgb_legacy[None]))
+        assert np.allclose(sh_legacy, sh_baked, atol=0.05), \
+            np.abs(sh_legacy - sh_baked).max()
         # precompute probes (rgb + transmittance SH, no background) too
         pts = jnp.asarray([[0.0, 0.0, 0.0], [0.1, 0.0, 0.0]])
         rgb_sh, opc_sh = insertor.generate_sh_probes_for_precompute(pts)
