@@ -198,9 +198,52 @@ class NGPInsertor:
             self._baked = bake_ngp(self.params, self.grid_state, self.cfg,
                                    resolution=res, n_dirs=16)
             self._probe_fused = None     # fused probe closes over the bake
+            self._rect_fused = None      # fused rect render too
             print(f'insert: baked {res}^3 probe field in '
                   f'{time.time() - t:.1f}s')
         return self._baked
+
+    def _rect_render_fused_fn(self, n_pad: int):
+        """One-dispatch dirty-rect scene render (serving hot loop, part 2).
+
+        Same rationale as _probe_fused_fn: the rect render through
+        render_baked's host bucket path pays several tunnel roundtrips
+        (readback + re-upload) per frame. This closes baked render +
+        mesh-depth far clamp + im_bkg blend into a single jitted program
+        per padded rect size; outputs stay device arrays (the .at[].set
+        update into last_rgb is also a device op), so an object-move
+        frame costs one dispatch chain and zero intermediate readbacks."""
+        cache = getattr(self, '_rect_fused', None) or {}
+        self._rect_fused = cache
+        fn = cache.get(n_pad)
+        if fn is not None:
+            return fn
+        from ..rendering_baked import render_baked_uniform
+        baked = self._get_baked()
+
+        # tables ride as ARGUMENTS, not closures: closed-over arrays embed
+        # as program constants, and the axon runtime re-ships large
+        # constants with the program
+        @jax.jit
+        def fused(rows, aabb_lo, aabb_hi, mip, sigma, row_index, rows_q,
+                  ro, rd, im_bkg, mesh_depth, key):
+            res = render_baked_uniform(
+                rows, aabb_lo, aabb_hi, ro, rd, key,
+                B=baked.resolution, scale=baked.scale, T_threshold=1e-2,
+                n_steps=128, samples_per_round=16, color_window=8,
+                mip=mip, sigma=sigma,
+                row_index=row_index, rows_q=rows_q,
+                t_far=mesh_depth)
+            rgb = res['rgb'] + im_bkg * (1.0 - res['opacity'][:, None])
+            return rgb, res['depth']
+
+        def call(ro, rd, im_bkg, mesh_depth, key):
+            return fused(baked.rows, baked.aabb_lo, baked.aabb_hi,
+                         baked.mip, baked.sigma, baked.row_index,
+                         baked.rows_q, ro, rd, im_bkg, mesh_depth, key)
+
+        cache[n_pad] = call
+        return call
 
     def _probe_fused_fn(self):
         """ONE-dispatch SH probe for serving (SURVEY §3.4 hot loop).
@@ -277,17 +320,29 @@ class NGPInsertor:
         """Dirty-rect scene recomposite on the baked field: far bound
         clamped at the inserted mesh's depth, object pixels blended as the
         background (render_test's im_bkg semantics,
-        reference rendering.py:38-44 + :240-250)."""
-        from ..rendering_baked import render_baked
-        baked = self._get_baked()
+        reference rendering.py:38-44 + :240-250). Runs as ONE fused
+        program per padded rect size (_rect_render_fused_fn); pad rays
+        start far outside the AABB and die for free, pad t_far = 0 means
+        no clamp."""
+        n = rays_o.shape[0]
+        n_pad = max(1024, 1 << max(n - 1, 1).bit_length())
+        fused = self._rect_render_fused_fn(n_pad)
         self.key, k = jax.random.split(self.key)
+        pad = n_pad - n
+        if pad:
+            rays_o = jnp.concatenate(
+                [rays_o, jnp.full((pad, 3), 1e6, jnp.float32)])
+            rays_d = jnp.concatenate(
+                [rays_d, jnp.ones((pad, 3), jnp.float32)])
+            im_bkg = jnp.concatenate(
+                [im_bkg, jnp.zeros((pad, 3), im_bkg.dtype)])
+            mesh_depth_map = jnp.concatenate(
+                [jnp.asarray(mesh_depth_map, jnp.float32),
+                 jnp.zeros((pad,), jnp.float32)])
         t = time.time()
-        out = render_baked(baked, self.grid_state, rays_o, rays_d, self.cfg,
-                           key=k, T_threshold=1e-2,
-                           mesh_depth_map=mesh_depth_map)
-        rgb = out['rgb'] + im_bkg * (1.0 - out['opacity'][:, None])
+        rgb, depth = fused(rays_o, rays_d, im_bkg, mesh_depth_map, k)
         self.dt = time.time() - t
-        return rgb, out['depth']
+        return rgb[:n], depth[:n]
 
     # -- offline prep ------------------------------------------------------
 

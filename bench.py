@@ -645,6 +645,10 @@ def main():
                     nrm, dep, ipose, sh, full_return=False,
                     use_sg_base=False, sg_use_self_shadow=False,
                     model_bbox=bbox, model_bbox_last=None)        # warm
+                ins.render_insert_object(
+                    nrm, dep, ipose, sh, full_return=False,
+                    use_sg_base=False, sg_use_self_shadow=False,
+                    model_bbox=bbox, model_bbox_last=bbox)   # warm rect
                 t0 = time.time()
                 for _ in range(n):
                     ins.render_insert_object(

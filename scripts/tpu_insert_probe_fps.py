@@ -93,6 +93,11 @@ def main():
         out = ins.render_insert_object(
             normals, depths, pose, sh, full_return=False, use_sg_base=False,
             sg_use_self_shadow=False, model_bbox=bbox, model_bbox_last=None)
+        # warm the TIMED rect shape too (the first call's full-frame rect
+        # compiles a different program size)
+        out = ins.render_insert_object(
+            normals, depths, pose, sh, full_return=False, use_sg_base=False,
+            sg_use_self_shadow=False, model_bbox=bbox, model_bbox_last=bbox)
         t0 = time.time()
         for _ in range(n):
             out = ins.render_insert_object(
