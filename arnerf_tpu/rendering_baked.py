@@ -246,16 +246,12 @@ def bake_field(field_fn, scale: float, resolution: int = 256,
     btb = basis.T @ basis + sh_ridge * np.eye(N_SH, dtype=np.float32)
     pinv = np.linalg.solve(btb, basis.T).astype(np.float32)      # (9, D)
 
-    ax = (np.arange(B, dtype=np.float32) + 0.5) / B * 2 * scale - scale
     if occ_mask is not None:
         occ_idx = np.nonzero(np.asarray(occ_mask).reshape(-1))[0]
     else:
         occ_idx = np.arange(B ** 3)
-    # z-fastest: row = (x * B + y) * B + z
-    vx = ax[(occ_idx // (B * B)) % B]
-    vy = ax[(occ_idx // B) % B]
-    vz = ax[occ_idx % B]
-    centers = np.stack([vx, vy, vz], axis=-1)                    # (V, 3)
+    # voxel centers are derived ON DEVICE from the (z-fastest) indices —
+    # see bake_chunk
 
     d_j = jnp.asarray(dirs)
     pinv_j = jnp.asarray(pinv)
@@ -267,8 +263,22 @@ def bake_field(field_fn, scale: float, resolution: int = 256,
     # row block into the device-resident (B^3, 32) buffer (a ~3 ms
     # scatter, off any hot path), and the mip/AABB finalize is jnp too;
     # the host never sees bulk data.
+    # Per-chunk inputs arrive as ONE device-resident index array + a chunk
+    # counter: round 4 measured the previous per-chunk host->device
+    # uploads (centers 786 KB + idx 262 KB per chunk, ~60 MB per 256^3
+    # bake) dominating bake wall clock through the ~MB/s tunnel. The
+    # chunk slices its indices on device and derives voxel centers
+    # arithmetically; the only per-chunk transfer is a scalar.
     @partial(jax.jit, donate_argnums=(0,))
-    def bake_chunk(rows, c, idx, seed):
+    def bake_chunk(rows, idx_full, ci):
+        idx = jax.lax.dynamic_slice(idx_full, (ci * chunk,), (chunk,))
+        idxc = jnp.minimum(idx, B ** 3 - 1)      # pad rows: math-safe clamp
+        fx = ((idxc // (B * B)) % B).astype(jnp.float32)
+        fy = ((idxc // B) % B).astype(jnp.float32)
+        fz = (idxc % B).astype(jnp.float32)
+        c = ((jnp.stack([fx, fy, fz], axis=-1) + 0.5) / B
+             * 2 * scale - scale)                                # (m, 3)
+        seed = ci.astype(jnp.uint32)
         m = c.shape[0]
         x_rep = jnp.repeat(c, n_dirs, axis=0)                    # (m*D, 3)
         d_rep = jnp.tile(d_j, (m, 1))
@@ -317,15 +327,11 @@ def bake_field(field_fn, scale: float, resolution: int = 256,
     n_chunks = -(-V // chunk)
     if V and V % chunk:
         pad_n = n_chunks * chunk - V
-        centers = np.concatenate(
-            [centers, np.zeros((pad_n, 3), np.float32)])
         occ_idx = np.concatenate(
             [occ_idx, np.full(pad_n, B ** 3, occ_idx.dtype)])
+    occ_idx_j = jnp.asarray(occ_idx, jnp.int32)      # ONE upload
     for ci in range(n_chunks):
-        i = ci * chunk
-        rows = bake_chunk(rows, jnp.asarray(centers[i:i + chunk]),
-                          jnp.asarray(occ_idx[i:i + chunk], jnp.int32),
-                          jnp.uint32(ci))
+        rows = bake_chunk(rows, occ_idx_j, jnp.int32(ci))
     rows, aabb_lo, aabb_hi, mip, sigma, mip_dist = finalize(rows)
     row_index = rows_q = None
     if quantize_colors and V:
