@@ -90,6 +90,18 @@ class BakedField(NamedTuple):
     # outer cascades are dead. cascades == 1 keeps every single-cascade
     # path bit-identical (this field is aux, like resolution/scale).
     cascades: int = 1
+    # Brick-packed sigma table ((ceil(B/8)^3, 512) uint8, round 5): brick
+    # (bx,by,bz) holds its 8^3 voxels' log-coded sigma in one row
+    # (z-fastest within the brick). The chip's gather engine is ROW-issue
+    # bound at unchanged cost up to 512 B rows (scripts/tpu_brick_probe.py:
+    # 512 B int8 rows gather at the same ns/row as 4 B rows), so one brick
+    # row serves every ladder sample on the ray's ~9.4-voxel chord through
+    # the brick (~2.7 samples at dt = 3.46 voxels, more at finer dt) — the
+    # only way past the per-sample row floor that capped the slab frame at
+    # ~1 FPS (DESIGN.md round-4 survivor forensics). Codes are
+    # log-quantized: code = round(24 * log2(1 + sigma)) in [0, 255]
+    # (sigma up to ~1570 at 1.5% relative step; 0 -> exactly 0).
+    sigma_bricks: jnp.ndarray = None
     # Chebyshev distance transform of `mip` (same (Bc^3,) layout, uint8):
     # 0 = dilated-occupied supercell, k = max-norm supercell distance to
     # the nearest one. Enables the DISTANCE-STEPPING prelude (round 4):
@@ -107,6 +119,36 @@ class BakedField(NamedTuple):
 
 
 MIP_FACTOR = 8
+
+# brick-packed sigma (BakedField.sigma_bricks): 8^3 voxels per row,
+# log-quantized uint8: code = round(LOGQ * log2(1 + sigma)), clip [0, 255]
+BRICK = 8
+LOGQ = 24.0
+
+
+def sigma_encode(sigma):
+    """f32 sigma -> uint8 log code (0 -> exactly 0; ~1.5% relative step)."""
+    c = jnp.round(LOGQ * jnp.log2(1.0 + jnp.maximum(sigma, 0.0)))
+    return jnp.clip(c, 0, 255).astype(jnp.uint8)
+
+
+def sigma_decode(code):
+    """uint8/int32 log code -> f32 sigma."""
+    return jnp.exp2(code.astype(jnp.float32) / LOGQ) - 1.0
+
+
+def build_sigma_bricks(rows_sigma, B: int):
+    """(B^3,) baked sigma (z-fastest) -> ((ceil(B/8))^3, 512) uint8 brick
+    table: row b holds brick b's 8^3 voxels z-fastest, log-coded. Pure jnp
+    (device-side; the table is ~16.8 MB at 256^3). Pad voxels (B not a
+    multiple of 8) encode sigma 0."""
+    F = BRICK
+    Bb = -(-B // F)
+    sig = jnp.asarray(rows_sigma).reshape(B, B, B)
+    if Bb * F != B:
+        sig = jnp.pad(sig, ((0, Bb * F - B),) * 3)
+    codes = sigma_encode(sig).reshape(Bb, F, Bb, F, Bb, F)
+    return codes.transpose(0, 2, 4, 1, 3, 5).reshape(Bb ** 3, F ** 3)
 
 
 def build_sigma_mip(rows_sigma, B: int):
@@ -317,7 +359,8 @@ def bake_field(field_fn, scale: float, resolution: int = 256,
         mip = build_sigma_mip(rows[:, 0], B)
         return (rows.astype(dtype), aabb_lo, aabb_hi, mip,
                 rows[:, 0].astype(jnp.float32),
-                build_mip_dist(mip, -(-B // MIP_FACTOR)))
+                build_mip_dist(mip, -(-B // MIP_FACTOR)),
+                build_sigma_bricks(rows[:, 0], B))
 
     rows = jnp.zeros((B ** 3, N_CH), jnp.float32)
     # pad the voxel list to a chunk multiple: ONE compiled program serves
@@ -332,14 +375,14 @@ def bake_field(field_fn, scale: float, resolution: int = 256,
     occ_idx_j = jnp.asarray(occ_idx, jnp.int32)      # ONE upload
     for ci in range(n_chunks):
         rows = bake_chunk(rows, occ_idx_j, jnp.int32(ci))
-    rows, aabb_lo, aabb_hi, mip, sigma, mip_dist = finalize(rows)
+    rows, aabb_lo, aabb_hi, mip, sigma, mip_dist, bricks = finalize(rows)
     row_index = rows_q = None
     if quantize_colors and V:
         rows_q, row_index = quantize_color_table(rows, occ_idx[:V], B ** 3)
     return BakedField(rows=rows, resolution=B, scale=scale,
                       aabb_lo=aabb_lo, aabb_hi=aabb_hi, mip=mip,
                       sigma=sigma, row_index=row_index, rows_q=rows_q,
-                      mip_dist=mip_dist)
+                      mip_dist=mip_dist, sigma_bricks=bricks)
 
 
 def quantize_color_table(rows, occ_idx_np, n_rows_total: int):
@@ -1272,6 +1315,294 @@ def render_baked_uniform(rows, aabb_lo, aabb_hi, rays_o, rays_d, key, *,
     return out
 
 
+def _brick_extract(codes, off, method: str = "wheresum"):
+    """Per-row lane extraction: codes (R, 512) uint8, off (R, K) int32 in
+    [0, 512) -> (R, K) int32 code values.
+
+    The gathered brick rows live in registers/VMEM-adjacent layouts; a
+    second HBM row-gather per sample would re-pay the ~8-24 ns/row issue
+    cost this whole design exists to avoid, so extraction is a masked
+    reduce over the 512 lanes (chip-measured ~1.6 ns marginal per
+    extracted value, scripts/tpu_brick_probe.py). "wheresum" fuses one
+    (R, K, 512) compare+select into a single reduce; "unroll" issues K
+    fused (R, 512) reduces (smaller live intermediate)."""
+    c = codes.astype(jnp.int32)
+    F3 = codes.shape[-1]
+    if method == "unroll":
+        io = jax.lax.broadcasted_iota(jnp.int32, (1, F3), 1)
+        cols = [jnp.sum(jnp.where(off[:, k:k + 1] == io, c, 0), axis=1)
+                for k in range(off.shape[1])]
+        return jnp.stack(cols, axis=1)
+    io = jax.lax.broadcasted_iota(jnp.int32, (1, 1, F3), 2)
+    return jnp.sum(jnp.where(off[:, :, None] == io, c[:, None, :], 0),
+                   axis=-1)
+
+
+@partial(jax.jit, static_argnames=(
+    "B", "scale", "dt", "K", "T_threshold", "max_rounds", "color_window",
+    "compact", "block4", "phase_floor", "phase_max", "phase_ratio"))
+def render_baked_bricks(bricks, rows, row_index, rows_q, mip,
+                        aabb_lo, aabb_hi, rays_o, rays_d, key, *,
+                        B: int, scale: float, dt: float, K: int,
+                        T_threshold: float = 1e-2, max_rounds: int = 512,
+                        color_window: int = 8, compact: bool = True,
+                        block4: bool = False, phase_floor: int = 4096,
+                        phase_max: int = 7, phase_ratio: float = 2.0,
+                        t_far=None):
+    """Brick-marching baked render chunk (round 5's interactive path).
+
+    Where render_baked_uniform pays one HBM gather ROW per SAMPLE (the
+    row-issue floor that capped the slab scene at ~1 FPS — DESIGN.md
+    round-4 survivor forensics), this renderer fetches one 512 B
+    `sigma_bricks` row per brick-CROSSING (~9.4 voxels of chord) and
+    evaluates every ladder sample inside the brick from the gathered
+    lanes (VPU masked reduce, `_brick_extract`). Row count becomes
+    path-length / brick-chord — independent of the quadrature step, so
+    finer dt costs only cheap lane extractions. Chip evidence:
+    scripts/tpu_brick_probe.py (512 B rows gather at 1-row cost;
+    extraction ~1.6 ns/value marginal).
+
+    Color rides OPACITY-QUANTILE buckets accumulated during the march:
+    sample k with global transmittance T_before lands in bucket
+    floor((1 - T_before) * Wc); each bucket carries exact weight mass
+    (sum of w) and its weight-averaged depth. After the march, ONE
+    batched fetch colors each bucket at the voxel under its mean depth —
+    color granularity adapts to absorption (each bucket covers ~1/Wc of
+    the ray's opacity) instead of to t-span, and the per-round color
+    multiplier of the v2 split path disappears entirely (the VERDICT r4
+    "two-pass / whole-ray color" ask, realized as carried bucket sums so
+    no second sigma march is needed).
+
+    Opacity/depth stay per-sample exact (same weight math as
+    composite_test_step / the split path); only color is bucket-averaged
+    — the same approximation class as the split path's stride buckets,
+    pinned vs the oracle by tests/test_baked_bricks.py.
+
+    Static `dt`/`K`: the ladder step is a compile-time float (host
+    computes it from the tight AABB; one compile per bake) and
+    K = ceil(brick diagonal / dt) + 1 bounds the samples one brick can
+    hold. Single-cascade, stochastic-jitter only (the interactive spec).
+    """
+    from .ops.rng import hash_uniform3
+    N = rays_o.shape[0]
+    Wc = color_window
+    F = BRICK
+    Bb = -(-B // F)
+    vox = 2.0 * scale / B
+    dn = jnp.linalg.norm(rays_d, axis=-1, keepdims=True).clip(1e-12)
+    rays_d = rays_d / dn
+    hits = ray_aabb_intersect_single(rays_o, rays_d,
+                                     (aabb_lo + aabb_hi) / 2,
+                                     (aabb_hi - aabb_lo) / 2)
+    t1 = jnp.maximum(hits[:, 0], 0.0)
+    t2 = hits[:, 1]
+    if t_far is not None:
+        tf = t_far * dn[:, 0]
+        t2 = jnp.where(t_far >= 1e-6,
+                       jnp.maximum(jnp.minimum(t2, tf), t1), t2)
+    seed = jax.random.bits(key, dtype=jnp.uint32)
+
+    # ---- coarse mip prelude (stride ladder; logic mirrors
+    # render_baked_uniform's block4/stride-2 variant — same margins) ----
+    Bc = -(-B // MIP_FACTOR)
+    w_c = MIP_FACTOR * 2 * scale / B
+    if block4:
+        roc, rdc = rays_o[0::4], rays_d[0::4]
+        hit4 = (t2 > t1).reshape(-1, 4)
+        t1c = jnp.where(hit4, t1.reshape(-1, 4), 1e30).min(axis=1)
+        t2c = jnp.where(hit4, t2.reshape(-1, 4), -1e30).max(axis=1)
+        step_c = w_c
+    else:
+        roc, rdc, t1c, t2c = rays_o, rays_d, t1, t2
+        step_c = 2 * w_c
+    Kc = int(np.ceil(2 * np.sqrt(3.0) * scale / step_c)) + 2
+    t_c = t1c[:, None] + (jnp.arange(Kc) + 0.5) * step_c
+    occ_parts = []
+    for d in range(3):
+        p_d = roc[:, d:d + 1] + t_c * rdc[:, d:d + 1]
+        f_d = jnp.clip(jnp.floor((p_d + scale) / (2 * scale) * B),
+                       0, B - 1).astype(jnp.int32) // MIP_FACTOR
+        occ_parts.append(f_d)
+    cix = (occ_parts[0] * Bc + occ_parts[1]) * Bc + occ_parts[2]
+    occ_c = (mip[cix] > 0) & (t_c < t2c[:, None])
+    any_occ = jnp.any(occ_c, axis=1)
+    first_k = jnp.argmax(occ_c, axis=1)
+    last_k = Kc - 1 - jnp.argmax(occ_c[:, ::-1], axis=1)
+    t_start = t1c + (first_k + 0.5).astype(jnp.float32) * step_c - 1.5 * w_c
+    t_end = t1c + (last_k + 0.5).astype(jnp.float32) * step_c + 1.5 * w_c
+    if block4:
+        any_occ = jnp.repeat(any_occ, 4)
+        t_start = jnp.repeat(t_start, 4)
+        t_end = jnp.repeat(t_end, 4)
+    t_start = jnp.maximum(t_start, t1)
+    t_end = jnp.minimum(t_end, t2)
+
+    alive0 = (hits[:, 0] > -0.5) & (t2 > t1) & any_occ
+    # t_cur carries the NEXT unconsumed sample CENTER
+    t0v = jnp.where(alive0, t_start + 0.5 * dt, t2 + 1.0)
+    n_prelude_alive = jnp.sum(alive0.astype(jnp.int32))
+
+    def make_phase(ro_p, rd_p, te_p, Np, next_n):
+        def cond(carry):
+            *_, alive, rounds = carry
+            n_alive = jnp.sum(alive.astype(jnp.int32))
+            go = (n_alive > 0) & (rounds < max_rounds)
+            if next_n:
+                go = go & (n_alive > next_n)
+            return go
+
+        def body(carry):
+            t_cur, opacity, depth, bw, bwt, alive, rounds = carry
+            pos0 = ro_p + t_cur[:, None] * rd_p                  # (Np, 3)
+            v0 = jnp.clip(jnp.floor((pos0 + scale) / (2 * scale) * B),
+                          0, B - 1).astype(jnp.int32)            # (Np, 3)
+            bidx = v0 // F                                       # (Np, 3)
+            bid = (bidx[:, 0] * Bb + bidx[:, 1]) * Bb + bidx[:, 2]
+            codes = bricks[bid]                                  # (Np, 512)
+            # brick exit along the ray (far slab per axis)
+            blo = bidx.astype(jnp.float32) * (F * vox) - scale
+            bhi = blo + F * vox
+            far = jnp.where(rd_p > 0, bhi, blo)
+            tax = jnp.where(jnp.abs(rd_p) > 1e-9,
+                            (far - ro_p) / rd_p, jnp.inf)
+            t_exit = jnp.min(tax, axis=1)                        # (Np,)
+            n_in = jnp.clip(jnp.ceil((t_exit - t_cur) / dt)
+                            .astype(jnp.int32), 1, K)
+            ks = jnp.arange(K, dtype=jnp.int32)[None, :]
+            ts = t_cur[:, None] + ks.astype(jnp.float32) * dt    # (Np, K)
+            in_range = (ks < n_in[:, None]) & (ts < te_p[:, None]) \
+                & alive[:, None]
+            ctr = (jnp.uint32(rounds) * jnp.uint32(Np * K)
+                   + jnp.arange(Np * K, dtype=jnp.uint32))
+            jit3 = hash_uniform3(ctr, seed, stream=1)
+            pos = ro_p[:, None, :] + ts[..., None] * rd_p[:, None, :]
+            u = (pos + scale) / (2 * scale) * B - 0.5            # (Np,K,3)
+            offs = []
+            for d in range(3):
+                idd = jnp.floor(u[..., d]
+                                + jit3[d].reshape(Np, K)).astype(jnp.int32)
+                # stochastic corner clamped INTO the gathered brick (the
+                # jitter can cross a brick face; clamping biases <= half a
+                # voxel at faces — pinned vs oracle by the brick tests)
+                idd = jnp.clip(idd, bidx[:, d:d + 1] * F,
+                               bidx[:, d:d + 1] * F + F - 1)
+                offs.append(idd - bidx[:, d:d + 1] * F)
+            off = (offs[0] * F + offs[1]) * F + offs[2]          # (Np, K)
+            sig = sigma_decode(_brick_extract(codes, off))
+            sig = jnp.where(in_range, sig, 0.0)
+            sd = sig * dt
+            sd_excl = jnp.cumsum(sd, axis=1) - sd
+            T_before = (1.0 - opacity)[:, None] * jnp.exp(-sd_excl)
+            alpha = 1.0 - jnp.exp(-sd)
+            included = (T_before > T_threshold) & in_range
+            w = alpha * T_before * included.astype(sig.dtype)    # (Np, K)
+            opacity = opacity + jnp.sum(w, axis=1)
+            depth = depth + jnp.sum(w * ts, axis=1)
+            # opacity-quantile bucket accumulation
+            b_k = jnp.clip((((1.0 - T_before) * Wc).astype(jnp.int32)),
+                           0, Wc - 1)                            # (Np, K)
+            ob = b_k[:, :, None] == jnp.arange(Wc,
+                                               dtype=jnp.int32)[None, None]
+            bw = bw + jnp.sum(w[:, :, None] * ob, axis=1)        # (Np, Wc)
+            bwt = bwt + jnp.sum((w * ts)[:, :, None] * ob, axis=1)
+            t_cur = jnp.where(alive,
+                              t_cur + n_in.astype(jnp.float32) * dt, t_cur)
+            alive = alive & ((1.0 - opacity) > T_threshold) \
+                & (t_cur < te_p)
+            return (t_cur, opacity, depth, bw, bwt, alive, rounds + 1)
+
+        return cond, body
+
+    carry = (t0v, jnp.zeros(N), jnp.zeros(N), jnp.zeros((N, Wc)),
+             jnp.zeros((N, Wc)), alive0, jnp.int32(0))
+
+    sizes = [N]
+    if compact:
+        while len(sizes) < phase_max:
+            nxt = max(phase_floor,
+                      (int(sizes[-1] / phase_ratio) + 255) // 256 * 256)
+            if nxt >= sizes[-1]:
+                break
+            sizes.append(nxt)
+
+    ro_p, rd_p, te_p = rays_o, rays_d, t_end
+    perms, tails = [], []
+    phase_rounds, phase_alive = [], []
+    for pi, Np in enumerate(sizes):
+        next_n = sizes[pi + 1] if pi + 1 < len(sizes) else 0
+        cond, body = make_phase(ro_p, rd_p, te_p, Np, next_n)
+        carry = jax.lax.while_loop(cond, body, carry)
+        phase_rounds.append(carry[6])
+        phase_alive.append(jnp.sum(carry[5].astype(jnp.int32)))
+        if next_n:
+            t_cur, opacity, depth, bw, bwt, alive, rn = carry
+            perm = jnp.argsort(
+                jnp.where(alive, 0, Np) + jnp.arange(Np, dtype=jnp.int32))
+            t_cur, opacity, depth = t_cur[perm], opacity[perm], depth[perm]
+            bw, bwt, alive = bw[perm], bwt[perm], alive[perm]
+            ro_p, rd_p, te_p = ro_p[perm], rd_p[perm], te_p[perm]
+            perms.append(perm)
+            tails.append((t_cur[next_n:], opacity[next_n:], depth[next_n:],
+                          bw[next_n:], bwt[next_n:], alive[next_n:]))
+            carry = (t_cur[:next_n], opacity[:next_n], depth[:next_n],
+                     bw[:next_n], bwt[:next_n], alive[:next_n], rn)
+            ro_p, rd_p, te_p = ro_p[:next_n], rd_p[:next_n], te_p[:next_n]
+
+    t_cur, opacity, depth, bw, bwt, alive, rounds = carry
+    for perm, tail in zip(reversed(perms), reversed(tails)):
+        t_cur = jnp.concatenate([t_cur, tail[0]])
+        opacity = jnp.concatenate([opacity, tail[1]])
+        depth = jnp.concatenate([depth, tail[2]])
+        bw = jnp.concatenate([bw, tail[3]])
+        bwt = jnp.concatenate([bwt, tail[4]])
+        alive = jnp.concatenate([alive, tail[5]])
+        inv = jnp.argsort(perm)
+        t_cur, opacity, depth = t_cur[inv], opacity[inv], depth[inv]
+        bw, bwt, alive = bw[inv], bwt[inv], alive[inv]
+
+    # ---- whole-ray color pass: one batched fetch per bucket -------------
+    sh_d = sh9_basis(rays_d)                                     # (N, 9)
+    t_b = bwt / jnp.maximum(bw, 1e-12)                           # (N, Wc)
+    ok_b = bw > 1e-4
+    pos_b = rays_o[:, None, :] + t_b[..., None] * rays_d[:, None, :]
+    ub = (pos_b + scale) / (2 * scale) * B - 0.5
+    vb = jnp.clip(jnp.floor(ub + 0.5), 0, B - 1).astype(jnp.int32)
+    vid = ((vb[..., 0] * B + vb[..., 1]) * B + vb[..., 2]).reshape(-1)
+    vid = jnp.where(ok_b.reshape(-1), vid, 0)
+    if rows_q is not None:
+        rix = row_index[vid]
+        fq = rows_q[rix]                                   # (N*Wc, 32) int8
+        sc = jax.lax.bitcast_convert_type(fq[:, N_CH - 4:], jnp.float32)
+        sh = (fq[:, :27].astype(jnp.float32) * sc[:, None]) \
+            .reshape(N, Wc, 3, N_SH)
+    else:
+        f = rows[vid].astype(jnp.float32).reshape(N, Wc, N_CH)
+        sh = f[:, :, 1:28].reshape(N, Wc, 3, N_SH)
+    rgb_b = jnp.maximum(jnp.einsum("nwck,nk->nwc", sh, sh_d), 0.0)
+    w_eff = jnp.where(ok_b, bw, 0.0)
+    rgb = jnp.sum(w_eff[..., None] * rgb_b, axis=1)
+
+    return {"opacity": opacity, "depth": depth / dn[:, 0], "rgb": rgb,
+            "rounds": rounds, "n_prelude_alive": n_prelude_alive,
+            "phase_rounds": jnp.stack(phase_rounds),
+            "phase_alive": jnp.stack(phase_alive),
+            "phase_sizes": jnp.asarray(sizes, jnp.int32)}
+
+
+def brick_render_args(baked: BakedField, n_steps: int = 128):
+    """Host-side static args for render_baked_bricks: the ladder step from
+    the tight AABB (rounded for compile-cache stability) and the per-brick
+    sample-slot bound K = ceil(brick diagonal / dt) + 1."""
+    lo = np.asarray(baked.aabb_lo, np.float64)
+    hi = np.asarray(baked.aabb_hi, np.float64)
+    dt = float(np.linalg.norm(hi - lo)) / n_steps
+    dt = float(np.format_float_positional(dt, precision=4, unique=False,
+                                          fractional=False))
+    vox = 2.0 * baked.scale / baked.resolution
+    K = int(np.clip(np.ceil(BRICK * np.sqrt(3.0) * vox / dt) + 1, 2, 24))
+    return dt, K
+
+
 def cull_and_buckets(baked: BakedField, rays_o, rays_d, chunk: int = 1 << 18,
                      img_wh=None):
     """Host-side tight-AABB cull + power-of-two bucketing.
@@ -1338,8 +1669,16 @@ def render_baked(baked: BakedField, grid_state, rays_o, rays_d, cfg, *,
                  phase1_rounds: int = 0, max_samples=None, prehit=None,
                  dt_scale=None, exp_step_factor: float = 0.0,
                  stats: dict = None, color_window: int = 8, img_wh=None,
-                 mesh_depth_map=None, dist_prelude: bool = False):
+                 mesh_depth_map=None, dist_prelude: bool = False,
+                 bricks: bool = True):
     """Full-frame baked render.
+
+    bricks=True (default) routes single-cascade stochastic renders with a
+    split color window through render_baked_bricks when the field carries
+    a `sigma_bricks` table — the round-5 brick-marching path (one 512 B
+    row per brick crossing instead of one row per sample; whole-ray
+    opacity-quantile color buckets). Other configurations (trilinear,
+    color_window=0, multi-cascade, old checkpoints) keep their paths.
 
     dist_prelude=False: the single-cascade sphere-traced distance prelude
     measured SLOWER than the vectorized stride-ladder mip prelude on the
@@ -1388,13 +1727,25 @@ def render_baked(baked: BakedField, grid_state, rays_o, rays_d, cfg, *,
     mdm_np = (np.asarray(mesh_depth_map, np.float32)
               if mesh_depth_map is not None else None)
     mc = getattr(baked, "cascades", 1) > 1
+    use_bricks = (bricks and not mc and interp == "stochastic"
+                  and color_window > 0
+                  and getattr(baked, "sigma_bricks", None) is not None)
+    if use_bricks:
+        dt_b, K_b = brick_render_args(baked, n_steps)
     for (sl, ro, rd, n), k in zip(buckets, keys):
         t_far = None
         if mdm_np is not None:
             # pad value 0 = no clamp; pad rays die on the AABB cull anyway
             t_far = jnp.asarray(np.concatenate(
                 [mdm_np[sl], np.zeros(ro.shape[0] - n, np.float32)]))
-        if mc:
+        if use_bricks:
+            res = render_baked_bricks(
+                baked.sigma_bricks, baked.rows, baked.row_index,
+                baked.rows_q, baked.mip, baked.aabb_lo, baked.aabb_hi,
+                ro, rd, k, B=baked.resolution, scale=baked.scale,
+                dt=dt_b, K=K_b, T_threshold=T_threshold,
+                color_window=color_window, block4=blocked, t_far=t_far)
+        elif mc:
             res = render_baked_mc_uniform(
                 baked.rows, baked.aabb_lo, baked.aabb_hi, ro, rd, k,
                 B=baked.resolution, scale=baked.scale,
@@ -1428,7 +1779,7 @@ def baked_frame_device_fn(baked: BakedField, rays_o, rays_d, *,
                           T_threshold: float = 1e-2, n_steps: int = 128,
                           samples_per_round: int = 16, chunk: int = 1 << 18,
                           color_window: int = 8, img_wh=None,
-                          dist_prelude: bool = False):
+                          dist_prelude: bool = False, bricks: bool = True):
     """Zero-readback frame function for device-side FPS measurement.
 
     Culling/padding/bucketing happens once here; the returned frame(key)
@@ -1446,11 +1797,23 @@ def baked_frame_device_fn(baked: BakedField, rays_o, rays_d, *,
     reduce_fn = jax.jit(lambda xs: sum(jnp.sum(x) for x in xs))
 
     mc = getattr(baked, "cascades", 1) > 1
+    use_bricks = (bricks and not mc and interp == "stochastic"
+                  and color_window > 0
+                  and getattr(baked, "sigma_bricks", None) is not None)
+    if use_bricks:
+        dt_b, K_b = brick_render_args(baked, n_steps)
 
     def frame(key):
         outs = []
         for sl, ro, rd, n in buckets:
-            if mc:
+            if use_bricks:
+                res = render_baked_bricks(
+                    baked.sigma_bricks, baked.rows, baked.row_index,
+                    baked.rows_q, baked.mip, baked.aabb_lo, baked.aabb_hi,
+                    ro, rd, key, B=baked.resolution, scale=baked.scale,
+                    dt=dt_b, K=K_b, T_threshold=T_threshold,
+                    color_window=color_window, block4=blocked)
+            elif mc:
                 res = render_baked_mc_uniform(
                     baked.rows, baked.aabb_lo, baked.aabb_hi, ro, rd, key,
                     B=baked.resolution, scale=baked.scale,
