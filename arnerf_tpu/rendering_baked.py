@@ -113,6 +113,21 @@ class BakedField(NamedTuple):
     # probes (sphere tracing on the occupancy grid). None falls back to
     # the fixed-stride prelude.
     mip_dist: jnp.ndarray = None
+    # Delta-bake snapshots (round 5, bake_ngp only): the trainer's EMA
+    # density grid (C, G^3) np.float32 and occupancy (C*G^3,) np.uint8 AS
+    # OF THIS BAKE. bake_ngp_delta re-bakes only grid cells whose EMA
+    # density moved > tau, whose occupancy flipped, or whose rolling-
+    # refresh stripe came up (bake_phase counts stripes), amortizing a
+    # full 256^3 bake (~57 s) to seconds per 16-step training block — the
+    # mid-training GUI preview the reference gets for free from its live-
+    # field renderer (reference show_gui.py:82-94). Host-side numpy, never
+    # enter jit.
+    src_density: object = None
+    src_occ: object = None
+    bake_phase: int = 0
+    # (B^3,) np.bool bake mask at bake time (avoids re-deriving the
+    # previous mask with a second host-side resample+dilate per delta)
+    src_mask: object = None
 
     # NamedTuple keeps this a pytree; resolution/scale ride as aux via the
     # static argnums of the jitted entry points (callers pass them split).
@@ -282,35 +297,71 @@ def bake_field(field_fn, scale: float, resolution: int = 256,
     is what lets n_dirs drop below ~24 in fast bakes.
     """
     B = resolution
-    dirs = fibonacci_sphere(n_dirs)                              # (D, 3)
-    basis = np.asarray(sh9_basis(jnp.asarray(dirs)))             # (D, 9)
-    # ridge-regularized least squares: (B^T B + lam*I)^-1 B^T
-    btb = basis.T @ basis + sh_ridge * np.eye(N_SH, dtype=np.float32)
-    pinv = np.linalg.solve(btb, basis.T).astype(np.float32)      # (9, D)
-
     if occ_mask is not None:
         occ_idx = np.nonzero(np.asarray(occ_mask).reshape(-1))[0]
     else:
         occ_idx = np.arange(B ** 3)
     # voxel centers are derived ON DEVICE from the (z-fastest) indices —
-    # see bake_chunk
+    # see _bake_chunk_program
 
+    bake_chunk = _bake_chunk_program(field_fn, scale, B, n_dirs=n_dirs,
+                                     chunk=chunk, seeded=seeded,
+                                     mean_sigma=mean_sigma,
+                                     sh_ridge=sh_ridge)
+    finalize = _bake_finalize_program(scale, B, dtype)
+
+    rows = jnp.zeros((B ** 3, N_CH), jnp.float32)
+    # pad the voxel list to a chunk multiple: ONE compiled program serves
+    # every chunk (a trailing partial chunk would trigger a second 20-40 s
+    # remote compile that can rival the whole bake's gather time)
+    V = len(occ_idx)
+    n_chunks = -(-V // chunk)
+    if V and V % chunk:
+        pad_n = n_chunks * chunk - V
+        occ_idx = np.concatenate(
+            [occ_idx, np.full(pad_n, B ** 3, occ_idx.dtype)])
+    occ_idx_j = jnp.asarray(occ_idx, jnp.int32)      # ONE upload
+    for ci in range(n_chunks):
+        rows = bake_chunk(rows, occ_idx_j, jnp.int32(ci))
+    rows, aabb_lo, aabb_hi, mip, sigma, mip_dist, bricks = finalize(rows)
+    row_index = rows_q = None
+    if quantize_colors and V:
+        rows_q, row_index = quantize_color_table(rows, occ_idx[:V], B ** 3)
+    return BakedField(rows=rows, resolution=B, scale=scale,
+                      aabb_lo=aabb_lo, aabb_hi=aabb_hi, mip=mip,
+                      sigma=sigma, row_index=row_index, rows_q=rows_q,
+                      mip_dist=mip_dist, sigma_bricks=bricks)
+
+
+def _bake_chunk_program(field_fn, scale: float, B: int, *, n_dirs: int,
+                        chunk: int, seeded: bool, mean_sigma: bool,
+                        sh_ridge: float):
+    """Build the jitted per-chunk bake program shared by bake_field and
+    bake_field_delta (same shapes -> one compiled program per process via
+    the persistent XLA cache).
+
+    The whole bake ACCUMULATES ON DEVICE: round 2 composed rows on the
+    host, which read back (sigma + 27 SH coeffs) per chunk — 3.7 MB x
+    hundreds of chunks through the axon tunnel (~MB/s) dominated the
+    measured 491 s 256^3 bake wall clock. Here each chunk scatters its
+    row block into the device-resident (B^3, 32) buffer (a ~3 ms
+    scatter, off any hot path), and the mip/AABB finalize is jnp too;
+    the host never sees bulk data.
+    Per-chunk inputs arrive as ONE device-resident index array + a chunk
+    counter: round 4 measured the previous per-chunk host->device
+    uploads (centers 786 KB + idx 262 KB per chunk, ~60 MB per 256^3
+    bake) dominating bake wall clock through the ~MB/s tunnel. The
+    chunk slices its indices on device and derives voxel centers
+    arithmetically; the only per-chunk transfer is a scalar.
+    """
+    dirs = fibonacci_sphere(n_dirs)                              # (D, 3)
+    basis = np.asarray(sh9_basis(jnp.asarray(dirs)))             # (D, 9)
+    # ridge-regularized least squares: (B^T B + lam*I)^-1 B^T
+    btb = basis.T @ basis + sh_ridge * np.eye(N_SH, dtype=np.float32)
+    pinv = np.linalg.solve(btb, basis.T).astype(np.float32)      # (9, D)
     d_j = jnp.asarray(dirs)
     pinv_j = jnp.asarray(pinv)
 
-    # The whole bake ACCUMULATES ON DEVICE: round 2 composed rows on the
-    # host, which read back (sigma + 27 SH coeffs) per chunk — 3.7 MB x
-    # hundreds of chunks through the axon tunnel (~MB/s) dominated the
-    # measured 491 s 256^3 bake wall clock. Here each chunk scatters its
-    # row block into the device-resident (B^3, 32) buffer (a ~3 ms
-    # scatter, off any hot path), and the mip/AABB finalize is jnp too;
-    # the host never sees bulk data.
-    # Per-chunk inputs arrive as ONE device-resident index array + a chunk
-    # counter: round 4 measured the previous per-chunk host->device
-    # uploads (centers 786 KB + idx 262 KB per chunk, ~60 MB per 256^3
-    # bake) dominating bake wall clock through the ~MB/s tunnel. The
-    # chunk slices its indices on device and derives voxel centers
-    # arithmetically; the only per-chunk transfer is a scalar.
     @partial(jax.jit, donate_argnums=(0,))
     def bake_chunk(rows, idx_full, ci):
         idx = jax.lax.dynamic_slice(idx_full, (ci * chunk,), (chunk,))
@@ -340,10 +391,17 @@ def bake_field(field_fn, scale: float, resolution: int = 256,
         # pad entries carry idx == B^3 (out of range) -> dropped
         return rows.at[idx].set(block, mode="drop")
 
+    return bake_chunk
+
+
+def _bake_finalize_program(scale: float, B: int, dtype):
+    """Build the jitted bake finalize: tight world-space bounds of
+    density-carrying voxels (+1 voxel margin), the coarse sigma mip, its
+    distance transform, and the brick-packed sigma table, all on device.
+    Shared by bake_field and bake_field_delta."""
+
     @jax.jit
     def finalize(rows):
-        """Tight world-space bounds of density-carrying voxels (+1 voxel
-        margin) and the coarse sigma mip, all on device."""
         occ3 = (rows[:, 0] > 1e-4).reshape(B, B, B)
         any_occ = jnp.any(occ3)
         vox = 2 * scale / B
@@ -362,27 +420,62 @@ def bake_field(field_fn, scale: float, resolution: int = 256,
                 build_mip_dist(mip, -(-B // MIP_FACTOR)),
                 build_sigma_bricks(rows[:, 0], B))
 
-    rows = jnp.zeros((B ** 3, N_CH), jnp.float32)
-    # pad the voxel list to a chunk multiple: ONE compiled program serves
-    # every chunk (a trailing partial chunk would trigger a second 20-40 s
-    # remote compile that can rival the whole bake's gather time)
-    V = len(occ_idx)
+    return finalize
+
+
+def bake_field_delta(field_fn, scale: float, prev: BakedField,
+                     changed_idx, removed_idx=None, occ_idx_all=None,
+                     n_dirs: int = 32, chunk: int = 1 << 15,
+                     dtype=jnp.float32, mean_sigma: bool = False,
+                     seeded: bool = False, sh_ridge: float = 1e-3,
+                     quantize_colors: bool = True) -> BakedField:
+    """Incremental bake: re-evaluate only `changed_idx` voxels on top of
+    `prev`'s rows, zero `removed_idx` voxels, then re-finalize the
+    derived structures (AABB/mip/dist/bricks — cheap full-grid jnp) and
+    re-quantize the color table over `occ_idx_all` (the FULL current
+    occupied set; gathers cost ~V rows, off the bake's critical path).
+
+    The chunk program is IDENTICAL in shape to bake_field's, so a process
+    that full-baked once re-uses the compiled program; a delta bake's
+    cost is (changed / all) of the full bake's field-evaluation wall plus
+    ~2 s of finalize/quantize. Snapshot bookkeeping (which voxels count
+    as changed) lives in bake_ngp_delta."""
+    B = prev.resolution
+    changed_idx = np.asarray(changed_idx, np.int64).reshape(-1)
+    bake_chunk = _bake_chunk_program(field_fn, scale, B, n_dirs=n_dirs,
+                                     chunk=chunk, seeded=seeded,
+                                     mean_sigma=mean_sigma,
+                                     sh_ridge=sh_ridge)
+    finalize = _bake_finalize_program(scale, B, dtype)
+
+    # explicit copy: bake_chunk DONATES its rows buffer; aliasing
+    # prev.rows would delete the caller's field mid-use
+    rows = jnp.array(prev.rows, jnp.float32, copy=True)
+    if removed_idx is not None and len(removed_idx):
+        rows = _zero_rows(rows, jnp.asarray(removed_idx, jnp.int32))
+    V = len(changed_idx)
     n_chunks = -(-V // chunk)
     if V and V % chunk:
-        pad_n = n_chunks * chunk - V
-        occ_idx = np.concatenate(
-            [occ_idx, np.full(pad_n, B ** 3, occ_idx.dtype)])
-    occ_idx_j = jnp.asarray(occ_idx, jnp.int32)      # ONE upload
+        changed_idx = np.concatenate(
+            [changed_idx, np.full(n_chunks * chunk - V, B ** 3,
+                                  changed_idx.dtype)])
+    idx_j = jnp.asarray(changed_idx, jnp.int32)
     for ci in range(n_chunks):
-        rows = bake_chunk(rows, occ_idx_j, jnp.int32(ci))
+        rows = bake_chunk(rows, idx_j, jnp.int32(ci))
     rows, aabb_lo, aabb_hi, mip, sigma, mip_dist, bricks = finalize(rows)
     row_index = rows_q = None
-    if quantize_colors and V:
-        rows_q, row_index = quantize_color_table(rows, occ_idx[:V], B ** 3)
+    if quantize_colors and occ_idx_all is not None and len(occ_idx_all):
+        rows_q, row_index = quantize_color_table(rows, occ_idx_all, B ** 3)
     return BakedField(rows=rows, resolution=B, scale=scale,
                       aabb_lo=aabb_lo, aabb_hi=aabb_hi, mip=mip,
                       sigma=sigma, row_index=row_index, rows_q=rows_q,
                       mip_dist=mip_dist, sigma_bricks=bricks)
+
+
+@jax.jit
+def _zero_rows(rows, idx):
+    return rows.at[idx].set(jnp.zeros((idx.shape[0], rows.shape[1]),
+                                      rows.dtype), mode="drop")
 
 
 def quantize_color_table(rows, occ_idx_np, n_rows_total: int):
@@ -1879,27 +1972,7 @@ def bake_ngp(params, grid_state, cfg, resolution: int = 256,
     G = cfg.grid_size
 
     def resample_dilate(occ_xyz):
-        # resample to bake resolution FIRST, then dilate by one VOXEL:
-        # dilating at occupancy-cell granularity inflated a carved grid's
-        # bake set ~3x per axis (25% of 256^3 voxels on a converged scene).
-        if B >= G:
-            # upsample: nearest-cell map, exact for any B (incl.
-            # non-multiples of G — np.repeat assumed B % G == 0 and broke
-            # --bake_res 192)
-            ci = (np.arange(B) * G) // B
-            mask = occ_xyz[np.ix_(ci, ci, ci)]
-        else:
-            # downsample: conservative any-pool over each voxel's bucket
-            bi = (np.arange(G) * B) // G
-            mask = np.zeros((B, B, B), bool)
-            np.logical_or.at(mask, np.ix_(bi, bi, bi), occ_xyz)
-        p = np.pad(mask, 1)
-        d = np.zeros_like(mask)
-        for dx in (0, 1, 2):
-            for dy in (0, 1, 2):
-                for dz in (0, 1, 2):
-                    d |= p[dx:dx + B, dy:dy + B, dz:dz + B]
-        return d.reshape(-1)
+        return _resample_dilate(occ_xyz, B, G)
 
     # occ_flat layout is row-major [mip, x, y, z] (models/ngp.py
     # _cell_coords)
@@ -1918,7 +1991,132 @@ def bake_ngp(params, grid_state, cfg, resolution: int = 256,
     kw = dict(n_dirs=n_dirs, dtype=dtype, chunk=chunk, seeded=use_stoch,
               mean_sigma=use_stoch)
     if cfg.cascades == 1:
-        return bake_field(field_fn, cfg.scale, resolution=B,
-                          occ_mask=masks[0], **kw)
+        baked = bake_field(field_fn, cfg.scale, resolution=B,
+                           occ_mask=masks[0], **kw)
+        # delta-bake snapshots (bake_ngp_delta): what the grid looked
+        # like when every voxel was last evaluated
+        return baked._replace(
+            src_density=np.asarray(grid_state.density_grid, np.float32),
+            src_occ=np.asarray(grid_state.occ_flat, np.uint8),
+            bake_phase=0, src_mask=np.asarray(masks[0], bool))
     return bake_field_mc(field_fn, cfg.scale, cfg.cascades, resolution=B,
                          occ_masks=masks, **kw)
+
+
+def _resample_dilate(occ_xyz, B: int, G: int, dilate: bool = True):
+    """Occupancy (G, G, G) bool -> bake mask (B^3,) bool: resample to bake
+    resolution FIRST, then dilate by one VOXEL (dilating at occupancy-cell
+    granularity inflated a carved grid's bake set ~3x per axis — 25% of
+    256^3 voxels on a converged scene). dilate=False skips the voxel
+    dilation — used for the delta bake's rolling-refresh stripes, where
+    dilation would double the stripe's cost without a correctness need
+    (the stripe exists for appearance drift, not geometry boundaries)."""
+    if B >= G:
+        # upsample: nearest-cell map, exact for any B (incl. non-multiples
+        # of G — np.repeat assumed B % G == 0 and broke --bake_res 192)
+        ci = (np.arange(B) * G) // B
+        mask = occ_xyz[np.ix_(ci, ci, ci)]
+    else:
+        # downsample: conservative any-pool over each voxel's bucket
+        bi = (np.arange(G) * B) // G
+        mask = np.zeros((B, B, B), bool)
+        np.logical_or.at(mask, np.ix_(bi, bi, bi), occ_xyz)
+    if not dilate:
+        return mask.reshape(-1)
+    p = np.pad(mask, 1)
+    d = np.zeros_like(mask)
+    for dx in (0, 1, 2):
+        for dy in (0, 1, 2):
+            for dz in (0, 1, 2):
+                d |= p[dx:dx + B, dy:dy + B, dz:dz + B]
+    return d.reshape(-1)
+
+
+def bake_ngp_delta(params, grid_state, cfg, prev: BakedField, *,
+                   tau: float = 0.05, refresh_k: int = 16,
+                   n_dirs: int = 32, dtype=jnp.float32, chunk: int = None,
+                   stoch: str = "auto", stats: dict = None) -> BakedField:
+    """Incremental re-bake of a trained NGP against a previous bake.
+
+    Re-evaluates only voxels whose grid cells (a) moved in EMA density by
+    more than `tau` (relative, vs the density snapshot the voxel was last
+    baked from), (b) flipped occupancy, or (c) landed in this call's
+    rolling-refresh stripe (cell_id % refresh_k == phase) — the stripe
+    bounds appearance staleness: EVERY cell re-bakes within `refresh_k`
+    delta bakes even if its density never moves (the appearance MLP
+    drifts without moving sigma). Snapshots update only for re-baked
+    cells, so sub-tau drift accumulates until it crosses tau rather than
+    leaking under a ratcheting baseline.
+
+    This is the mid-training preview path (VERDICT r4 #4): the reference
+    GUI renders the live field during training (show_gui.py:82-94); here
+    a full 256^3 bake costs ~57 s and invalidates on every density-grid
+    update, so the preview re-bakes the delta in seconds instead.
+    Falls back to a FULL bake_ngp when prev carries no snapshots (old
+    checkpoints), resolution changed, or the scene is multi-cascade.
+
+    n_dirs defaults to bake_ngp's: pass the same value as the full bake
+    or the refreshed voxels change SH projection quality mid-preview.
+    Pass a dict as `stats` to receive the delta accounting."""
+    from .models.ngp import ngp_forward
+    if (prev is None or getattr(prev, "src_density", None) is None
+            or cfg.cascades > 1):
+        return bake_ngp(params, grid_state, cfg,
+                        resolution=getattr(prev, "resolution", 256),
+                        n_dirs=n_dirs, dtype=dtype, chunk=chunk,
+                        stoch=stoch)
+    B, G = prev.resolution, cfg.grid_size
+    dens_new = np.asarray(grid_state.density_grid, np.float32)
+    occ_new = np.asarray(grid_state.occ_flat, np.uint8)
+    d_old, o_old = prev.src_density, prev.src_occ
+
+    moved = np.abs(dens_new - d_old) > tau * np.maximum(
+        np.maximum(np.abs(d_old), np.abs(dens_new)), 1e-2)
+    geo_cells = moved.reshape(-1) | (occ_new != o_old)
+    phase = (int(prev.bake_phase) + 1) % max(refresh_k, 1)
+    cells = geo_cells
+    if refresh_k > 0:
+        cells = cells | ((np.arange(cells.shape[0]) % refresh_k) == phase)
+
+    mask_new = _resample_dilate(occ_new.reshape(G, G, G) > 0, B, G)
+    mask_old = prev.src_mask if getattr(prev, "src_mask", None) is not None \
+        else _resample_dilate(o_old.reshape(G, G, G) > 0, B, G)
+    # geometry changes dilate (boundary trilinear reads see real values);
+    # the refresh stripe does not (appearance drift has no boundary need,
+    # and dilation would double the stripe's per-delta cost)
+    vox_rebake = _resample_dilate(geo_cells.reshape(G, G, G), B, G)
+    if refresh_k > 0:
+        stripe = (np.arange(geo_cells.shape[0]) % refresh_k) == phase
+        vox_rebake = vox_rebake | _resample_dilate(
+            stripe.reshape(G, G, G), B, G, dilate=False)
+    changed = mask_new & (vox_rebake | ~mask_old)
+    removed_idx = np.nonzero(mask_old & ~mask_new)[0]
+    changed_idx = np.nonzero(changed)[0]
+    occ_idx_all = np.nonzero(mask_new)[0]
+    if stats is not None:
+        stats.update(n_changed=len(changed_idx), n_removed=len(removed_idx),
+                     n_total=len(occ_idx_all), phase=phase,
+                     frac=len(changed_idx) / max(1, len(occ_idx_all)))
+
+    use_stoch = stoch is True or (stoch == "auto"
+                                  and jax.default_backend() != "cpu")
+    if chunk is None:
+        rows_per_sample = cfg.hash_cfg.n_levels * (1 if use_stoch else 8)
+        chunk = max(1 << 12, (1 << 24) // max(1, n_dirs * rows_per_sample))
+    if use_stoch:
+        def field_fn(x, dirs, seed):
+            return ngp_forward(params, x, dirs, cfg, seed=seed)
+    else:
+        def field_fn(x, dirs):
+            return ngp_forward(params, x, dirs, cfg)
+
+    baked = bake_field_delta(
+        field_fn, cfg.scale, prev, changed_idx, removed_idx=removed_idx,
+        occ_idx_all=occ_idx_all, n_dirs=n_dirs, chunk=chunk, dtype=dtype,
+        seeded=use_stoch, mean_sigma=use_stoch)
+    # snapshots advance ONLY where this bake re-evaluated (cells): the
+    # rest keep accumulating drift against their last-baked reference
+    return baked._replace(
+        src_density=np.where(cells.reshape(d_old.shape), dens_new, d_old),
+        src_occ=np.where(cells, occ_new, o_old).astype(np.uint8),
+        bake_phase=phase, src_mask=np.asarray(mask_new, bool))

@@ -521,6 +521,32 @@ def main():
         print(f"bench: baked render failed ({type(e).__name__})",
               file=sys.stderr, flush=True)
 
+    # incremental re-bake after ONE more 16-step training block: the
+    # mid-training-preview cost (VERDICT r4 #4 asks bake_update_s <= 5 s;
+    # a full re-bake costs bake_s and invalidates on every grid update)
+    bake_update_s = 0.0
+    bake_update_frac = 0.0
+    try:
+        if bake_s > 0:
+            from arnerf_tpu.rendering_baked import bake_ngp_delta
+            trainer.train_block()
+            _sync(trainer.params["hash_table"])
+            dstats = {}
+            t0 = time.time()
+            baked = bake_ngp_delta(trainer.model_params,
+                                   trainer.grid_state, cfg, baked,
+                                   n_dirs=16, stats=dstats)
+            _sync(baked.rows)
+            bake_update_s = time.time() - t0
+            bake_update_frac = float(dstats.get("frac", 0.0))
+            print(f"bench: delta bake {bake_update_s:.1f}s "
+                  f"({100 * bake_update_frac:.1f}% of voxels, "
+                  f"{dstats.get('n_changed', 0)} re-baked)",
+                  file=sys.stderr, flush=True)
+    except Exception as e:
+        print(f"bench: delta bake failed ({type(e).__name__}: {e})",
+              file=sys.stderr, flush=True)
+
     # object-only FPS: the bench scene's ground slab spans the whole cube,
     # so ~100% of 800x800 rays survive culling and the mip prelude — an
     # adversarial worst case vs the reference's Lego headline, where the
@@ -700,6 +726,8 @@ def main():
             "render_fps_800_baked_object": round(fps_baked_object, 2),
             "baked_object_psnr": round(obj_psnr, 2),
             "bake_s": round(bake_s, 1),
+            "bake_update_s": round(bake_update_s, 1),
+            "bake_update_frac": round(bake_update_frac, 4),
             "bake_occ_frac": round(bake_occ_frac, 4),
             "bake_occ_frac_baked": round(bake_occ_frac_baked, 4),
             "val_psnr_after_bench_steps": round(val["psnr"], 2),

@@ -94,6 +94,40 @@ class NGPGUI:
             self.baked = bake_ngp(self.params, self.grid_state, self.cfg)
             print(f'baked field in {time.time() - t0:.1f}s')
         self._frame = 0
+        self._ckpt_mtime = (os.path.getmtime(hparams.ckpt_path)
+                            if hparams.ckpt_path
+                            and os.path.exists(hparams.ckpt_path) else 0.0)
+
+    def refresh_bake(self, force=False):
+        """Mid-training preview: if the checkpoint file changed on disk
+        (a concurrent train.py run saves every epoch / snapshot), reload
+        it and INCREMENTALLY re-bake only the changed grid cells
+        (rendering_baked.bake_ngp_delta) — seconds instead of the ~57 s
+        full bake, which is what makes watching a live training run
+        viable on the baked path (the reference GUI renders the live
+        field directly, show_gui.py:82-94). No-op on the network path or
+        when the file is unchanged (unless force). Returns True when the
+        preview advanced."""
+        import os
+        p = self.hparams.ckpt_path
+        if not p or not os.path.exists(p):
+            return False
+        mtime = os.path.getmtime(p)
+        if not force and mtime <= self._ckpt_mtime:
+            return False
+        from arnerf_tpu.training.ckpt import load_ckpt
+        self.params, self.grid_state, _, _ = load_ckpt(
+            p, params_template=self.params, grid_template=self.grid_state)
+        self._ckpt_mtime = mtime
+        if self.baked is not None:
+            from arnerf_tpu.rendering_baked import bake_ngp_delta
+            t0, stats = time.time(), {}
+            self.baked = bake_ngp_delta(self.params, self.grid_state,
+                                        self.cfg, self.baked, stats=stats)
+            print(f'delta bake {time.time() - t0:.1f}s '
+                  f'({stats.get("n_changed", 0)} voxels, '
+                  f'{100 * stats.get("frac", 0):.1f}%)')
+        return True
 
     def render_cam(self, cam):
         import jax.numpy as jnp
@@ -187,6 +221,7 @@ def run_dearpygui(gui):
     dpg.show_viewport()
     while dpg.is_dearpygui_running():
         gui.exposure = dpg.get_value('_exposure')
+        gui.refresh_bake()   # live-training preview: delta-bake on ckpt change
         buffer[:] = gui.render_cam(gui.cam)
         dpg.set_value('_texture', buffer)
         dpg.set_value('_log_time',
@@ -230,6 +265,9 @@ def run_opencv(gui):
             break
         if k == ord('d'):
             gui.img_mode = 1 - gui.img_mode
+        if k == ord('r'):
+            gui.refresh_bake(force=True)
+        gui.refresh_bake()   # live-training preview (ckpt mtime poll)
 
 
 def run_headless(gui, n_frames=30):
