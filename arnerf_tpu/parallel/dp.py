@@ -82,4 +82,15 @@ def make_dp_train_block(mesh, train_block_impl, kw):
         return compiled(bool(warmup))(params, opt_state, grid_state, images,
                                       poses, directions, keys, grid_key)
 
+    def lower(params, opt_state, grid_state, images, poses, directions,
+              keys, *, warmup):
+        """jax.jit-style .lower for the sharded block — the multichip perf
+        accounting (scripts/multichip_perf.py) parses the lowered StableHLO
+        for collective volumes without running the program."""
+        grid_key = jax.random.fold_in(keys[0], 7)
+        return compiled(bool(warmup)).lower(
+            params, opt_state, grid_state, images, poses, directions, keys,
+            grid_key)
+
+    call.lower = lower
     return call
