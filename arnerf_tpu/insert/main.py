@@ -18,6 +18,7 @@ Pipeline parity (reference line refs inline):
 import os
 import struct
 import time
+from functools import partial
 
 import numpy as np
 import jax
@@ -199,6 +200,7 @@ class NGPInsertor:
                                    resolution=res, n_dirs=16)
             self._probe_fused = None     # fused probe closes over the bake
             self._rect_fused = None      # fused rect render too
+            self._frame_fused = None     # and the whole-frame program
             print(f'insert: baked {res}^3 probe field in '
                   f'{time.time() - t:.1f}s')
         return self._baked
@@ -343,6 +345,271 @@ class NGPInsertor:
         rgb, depth = fused(rays_o, rays_d, im_bkg, mesh_depth_map, k)
         self.dt = time.time() - t
         return rgb[:n], depth[:n]
+
+    # -- whole-frame fused serving path (round 5) ---------------------------
+
+    def _frame_fused_fn(self, key_tuple):
+        """ONE-dispatch AR frame: PBR object shade + dirty-rect baked
+        recomposite + persistent frame-buffer update + shadow + final
+        frame, as a single jitted program (VERDICT r4 #3).
+
+        Round 4 fused the two render stages individually (probe 451 ->
+        ~20 ms), but a frame still ran the PBR shade, the .at[].set
+        buffer updates and the shadow pass as EAGER jnp ops — each one a
+        dispatch, ~28-38 ms of tunnel latency apiece, 371-968 ms/frame
+        total. Here the whole per-frame chain is one program per static
+        shape bucket; the only per-frame host traffic is the client's
+        normals/depths upload and ONE full-frame readback. The reference
+        serves this loop from insert/main.py:1113-1178.
+
+        key_tuple (static): (Hbp, Wbp, Hrp, Wrp, use_sg, self_shadow,
+        shadow_kind, has_rot, tex_size) — padded object-bbox and
+        update-rect sizes (pow2 buckets; dynamic_slice offsets carry the
+        true position), shading family, shadow family (0 none,
+        1 ssdf/field by use_sg, 2 rasterized shadow map), rotation
+        presence, shadow-map texture size (kind 2 only)."""
+        cache = getattr(self, '_frame_fused', None) or {}
+        self._frame_fused = cache
+        fn = cache.get(key_tuple)
+        if fn is not None:
+            return fn
+        (Hbp, Wbp, Hrp, Wrp, use_sg, self_sh, shadow_kind, has_rot,
+         tex_size, has_refl) = key_tuple
+        from ..rendering_baked import render_baked_uniform
+        baked = self._get_baked()
+        H, W = self.H, self.W
+        dirs_full = self.directions                      # (H, W, 3) device
+        clamp01 = not self.hparams.render_HDR_mapping
+
+        @partial(jax.jit, donate_argnums=(16, 17))
+        def fused(rows, aabb_lo, aabb_hi, mip, sigma, row_index, rows_q,
+                  normals_p, depths_p, b_start, r_start, mask_r, pose,
+                  sh_or_sg, metal, rough, last_rgb, last_depth,
+                  cubemap_rgb, model_pos, model_r, rot_inv, vp, s_map,
+                  key):
+            # ---- 1. PBR shade of the object bbox ------------------------
+            dirs_b = jax.lax.dynamic_slice(
+                dirs_full, (b_start[0], b_start[1], 0), (Hbp, Wbp, 3))
+            ro_b, rd_b = get_rays(dirs_b.reshape(-1, 3), pose)
+            vdirs = normalize(rd_b)
+            n_pix = Hbp * Wbp
+            normal_px = normals_p.reshape(-1, 3)
+            depths_px = depths_p.reshape(-1, 1)
+            mask_b = depths_px > 1e-6                    # pad rows: 0
+            albedo_px = jnp.ones((n_pix, 3))
+            metal_px = jnp.broadcast_to(metal, (n_pix, 1))
+            rough_px = jnp.broadcast_to(rough, (n_pix, 1))
+            refl = cubemap_rgb if has_refl else None
+            if use_sg:
+                l = sh_or_sg
+                if self_sh:
+                    pts_b = ro_b + depths_px * vdirs
+                    l = self.sg_shadow.calc_self_shadow_light_decay(
+                        model_r, pts_b, model_pos, sh_or_sg,
+                        rot_inv if has_rot else None)
+                cols = sg_render_core(albedo_px, metal_px, rough_px,
+                                      normal_px, vdirs, l, clamp01,
+                                      self_sh, refl)
+            else:
+                sh9 = jnp.broadcast_to(sh_or_sg,
+                                       (n_pix, SH_ORDER ** 2, 3))
+                cols = sh_render_core(albedo_px, metal_px, rough_px,
+                                      normal_px, vdirs, sh9,
+                                      self.embed_fn_v, self.model_brdf,
+                                      clamp01, refl)
+            cols = (cols * mask_b).reshape(Hbp, Wbp, 3)
+            frame_obj = jax.lax.dynamic_update_slice(
+                jnp.zeros((H, W, 3)), cols, (b_start[0], b_start[1], 0))
+            depth_obj = jax.lax.dynamic_update_slice(
+                jnp.zeros((H, W)), depths_p, (b_start[0], b_start[1]))
+
+            # ---- 2. dirty-rect baked scene recomposite ------------------
+            dirs_r = jax.lax.dynamic_slice(
+                dirs_full, (r_start[0], r_start[1], 0), (Hrp, Wrp, 3))
+            ro_r, rd_r = get_rays(dirs_r.reshape(-1, 3), pose)
+            mr = mask_r.reshape(-1)
+            # pad rays start far outside the AABB: they die on the cull
+            ro_r = jnp.where(mr[:, None], ro_r, 1e6)
+            im_bkg = jax.lax.dynamic_slice(
+                frame_obj, (r_start[0], r_start[1], 0),
+                (Hrp, Wrp, 3)).reshape(-1, 3)
+            mesh_depth = jax.lax.dynamic_slice(
+                depth_obj, (r_start[0], r_start[1]),
+                (Hrp, Wrp)).reshape(-1)
+            res = render_baked_uniform(
+                rows, aabb_lo, aabb_hi, ro_r, rd_r, key,
+                B=baked.resolution, scale=baked.scale, T_threshold=1e-2,
+                n_steps=128, samples_per_round=16, color_window=8,
+                mip=mip, sigma=sigma, row_index=row_index, rows_q=rows_q,
+                t_far=mesh_depth)
+            rgb_r = (res['rgb'] + im_bkg * (1.0 - res['opacity'][:, None])) \
+                .reshape(Hrp, Wrp, 3)
+            dep_r = res['depth'].reshape(Hrp, Wrp, 1)
+
+            # ---- 3. persistent frame-buffer update (donated) ------------
+            old_rgb = jax.lax.dynamic_slice(
+                last_rgb, (r_start[0], r_start[1], 0), (Hrp, Wrp, 3))
+            old_dep = jax.lax.dynamic_slice(
+                last_depth, (r_start[0], r_start[1], 0), (Hrp, Wrp, 1))
+            m3 = mask_r[:, :, None]
+            new_rgb = jax.lax.dynamic_update_slice(
+                last_rgb, jnp.where(m3, rgb_r, old_rgb),
+                (r_start[0], r_start[1], 0))
+            new_dep = jax.lax.dynamic_update_slice(
+                last_depth, jnp.where(m3, dep_r, old_dep),
+                (r_start[0], r_start[1], 0))
+
+            # ---- 4. shadow over the full frame --------------------------
+            rgb_out = new_rgb
+            if shadow_kind:
+                ro_f, rd_f = get_rays(dirs_full.reshape(-1, 3), pose)
+                pts = (ro_f.reshape(H, W, 3)
+                       + rd_f.reshape(H, W, 3) * new_dep).reshape(-1, 3)
+                if shadow_kind == 2:
+                    pts_h = jnp.concatenate(
+                        [pts, jnp.ones((pts.shape[0], 1))], -1)
+                    ras = (vp @ pts_h.T).T
+                    ras = ras.at[:, :3].divide(ras[:, 3:4])
+                    rx = jnp.clip(((ras[:, 0] + 1) / 2 * tex_size)
+                                  .astype(jnp.int32), 0, tex_size - 1)
+                    ry = jnp.clip(((-ras[:, 1] + 1) / 2 * tex_size)
+                                  .astype(jnp.int32), 0, tex_size - 1)
+                    rz = 0.5 * (ras[:, 2] + 1)
+                    sd = rz - s_map[ry, rx, 0]
+                    sdc = jnp.clip((sd / (model_r * 50)) ** 2, 0.2, 1.0)
+                    smap = jnp.where(sd < 0, 1.0, sdc).reshape(H, W, 1)
+                    rgb_out = new_rgb * _blur_hw1(smap, 9)
+                elif use_sg:
+                    if has_rot:
+                        l_rot = sh_or_sg.at[:, :3].set(
+                            (rot_inv @ sh_or_sg[:, :3].T).T)
+                        smap = self.sg_shadow.calc_shadow_factor(
+                            model_r, pts, model_pos, l_rot, rot_inv)
+                    else:
+                        smap = self.sg_shadow.calc_shadow_factor(
+                            model_r, pts, model_pos, sh_or_sg)
+                    rgb_out = new_rgb * _blur_hw1(
+                        smap.reshape(H, W, 1), 3)
+                else:
+                    if has_rot:
+                        sh_l = rotate_sh_by_recalc(
+                            self.sh_ray_dirs[0], cubemap_rgb, rot_inv)
+                        smap = soft_shadow_map(self.sf, model_pos,
+                                               model_r, sh_l, pts,
+                                               rot_inv)
+                    else:
+                        smap = soft_shadow_map(self.sf, model_pos,
+                                               model_r, sh_or_sg, pts)
+                    rgb_out = new_rgb * smap.reshape(H, W, 1)
+            if self.hparams.render_HDR_mapping:
+                rgb_out = tonemapping_simple(rgb_out)
+            return rgb_out, new_rgb, new_dep
+
+        def call(normals_p, depths_p, b_start, r_start, mask_r, pose,
+                 sh_or_sg, metal, rough, last_rgb, last_depth,
+                 cubemap_rgb, model_pos, model_r, rot_inv, vp, s_map,
+                 key):
+            return fused(baked.rows, baked.aabb_lo, baked.aabb_hi,
+                         baked.mip, baked.sigma, baked.row_index,
+                         baked.rows_q, normals_p, depths_p, b_start,
+                         r_start, mask_r, pose, sh_or_sg, metal, rough,
+                         last_rgb, last_depth, cubemap_rgb, model_pos,
+                         model_r, rot_inv, vp, s_map, key)
+
+        cache[key_tuple] = call
+        return call
+
+    def _try_render_insert_fused(self, normals, depths, pose, sh_or_sg,
+                                 metal, rough, albedo, use_sg_base,
+                                 sg_use_self_shadow, kwargs):
+        """Route an eligible serving frame through the one-dispatch fused
+        program. Returns the final frame (np) or None when the
+        configuration needs the general fallback path."""
+        model_bbox = kwargs.get('model_bbox')
+        gen_shadow = kwargs.get('gen_shadow', 0)
+        if (not self.use_baked or self.hparams.use_EXR
+                or albedo is not None or not np.isscalar(metal)
+                or not np.isscalar(rough) or model_bbox is None):
+            return None
+        (hs, ws), (hl, wl) = model_bbox
+        hb, wb = hl - hs, wl - ws
+        H, W = self.H, self.W
+        if hb <= 0 or wb <= 0 or hb > H or wb > W:
+            return None
+        rot_inv = kwargs.get('model_rot_inv')
+        model_pos = kwargs.get('model_pos')
+        model_r = kwargs.get('model_radius')
+        if gen_shadow and (model_pos is None or model_r is None) \
+                and gen_shadow != 2:
+            return None
+        if use_sg_base and sg_use_self_shadow \
+                and (model_pos is None or model_r is None):
+            return None
+        if gen_shadow == 1 and not use_sg_base and (
+                self.sf is None
+                or (rot_inv is not None and self.cubemap_rgb is None)):
+            return None
+        if gen_shadow == 2 and (kwargs.get('s_VP') is None
+                                or kwargs.get('s_im') is None
+                                or model_r is None):
+            return None
+
+        def pow2(n, cap):
+            return min(cap, 1 << max(int(n) - 1, 1).bit_length())
+
+        Hbp, Wbp = pow2(hb, H), pow2(wb, W)
+        (rhs, rws), (rhl, rwl) = self.get_update_range(
+            model_bbox, kwargs.get('model_bbox_last'))
+        hr, wr = rhl - rhs, rwl - rws
+        Hrp, Wrp = pow2(hr, H), pow2(wr, W)
+        tex_size = int(kwargs.get('s_texSize', 0) or 0)
+        key_tuple = (Hbp, Wbp, Hrp, Wrp, bool(use_sg_base),
+                     bool(use_sg_base and sg_use_self_shadow),
+                     int(gen_shadow), rot_inv is not None, tex_size,
+                     self.cubemap_rgb is not None)
+        fusedc = self._frame_fused_fn(key_tuple)
+
+        # host-side padding: place the true block at its offset inside the
+        # padded slice window (clamped so the window stays on-screen)
+        bs_h, bs_w = min(hs, H - Hbp), min(ws, W - Wbp)
+        npd = np.zeros((Hbp, Wbp, 3), np.float32)
+        dpd = np.zeros((Hbp, Wbp), np.float32)
+        npd[hs - bs_h:hs - bs_h + hb, ws - bs_w:ws - bs_w + wb] = \
+            np.asarray(normals, np.float32).reshape(hb, wb, 3)
+        dpd[hs - bs_h:hs - bs_h + hb, ws - bs_w:ws - bs_w + wb] = \
+            np.asarray(depths, np.float32).reshape(hb, wb)
+        rs_h, rs_w = min(rhs, H - Hrp), min(rws, W - Wrp)
+        mask_r = np.zeros((Hrp, Wrp), bool)
+        mask_r[rhs - rs_h:rhs - rs_h + hr, rws - rs_w:rws - rs_w + wr] = True
+
+        if self.last_rgb is None:
+            self.last_rgb = jnp.zeros((H, W, 3))
+            self.last_depth = jnp.zeros((H, W, 1))
+        self.key, k = jax.random.split(self.key)
+        dummy3 = jnp.zeros(3)
+        t0 = time.time()
+        rgb_final, self.last_rgb, self.last_depth = fusedc(
+            jnp.asarray(npd), jnp.asarray(dpd),
+            jnp.asarray([bs_h, bs_w], jnp.int32),
+            jnp.asarray([rs_h, rs_w], jnp.int32), jnp.asarray(mask_r),
+            jnp.asarray(pose), jnp.asarray(sh_or_sg),
+            jnp.float32(metal),
+            jnp.float32(np.clip(rough, 0.2, 1.0)),
+            self.last_rgb, self.last_depth,
+            jnp.asarray(self.cubemap_rgb) if self.cubemap_rgb is not None
+            else jnp.zeros((1, 3)),
+            jnp.asarray(model_pos) if model_pos is not None else dummy3,
+            jnp.float32(model_r if model_r is not None else 1.0),
+            jnp.asarray(rot_inv) if rot_inv is not None
+            else jnp.eye(3),
+            jnp.asarray(kwargs.get('s_VP')) if kwargs.get('s_VP')
+            is not None else jnp.eye(4),
+            jnp.asarray(kwargs.get('s_im')) if kwargs.get('s_im')
+            is not None else jnp.zeros((1, 1, 1)),
+            k)
+        out = np.asarray(rgb_final)
+        self.dt = time.time() - t0
+        return out
 
     # -- offline prep ------------------------------------------------------
 
@@ -655,7 +922,17 @@ class NGPInsertor:
                              full_return=False, use_sg_base=True,
                              sg_use_self_shadow=True, **kwargs):
         """Object render + incremental (dirty-rect) NeRF recomposite +
-        shadow application (reference main.py:620-684)."""
+        shadow application (reference main.py:620-684).
+
+        Serving frames (baked field, LDR, scalar material) run as ONE
+        fused program (_try_render_insert_fused, VERDICT r4 #3); every
+        other configuration keeps this general multi-stage path."""
+        if not full_return:
+            out = self._try_render_insert_fused(
+                normals, depths, pose, sh_or_sg, metal, rough, albedo,
+                use_sg_base, sg_use_self_shadow, kwargs)
+            if out is not None:
+                return out
         model_bbox = kwargs.get('model_bbox')
         model_bbox_last = kwargs.get('model_bbox_last')
         render_res, depth_t = self.render_object(

@@ -244,3 +244,100 @@ def test_ssdf_shadow_pipeline(insertor, tmp_path_factory):
         model_radius=0.3, model_pos=model_pos, gen_shadow=1)
     assert out.shape == (insertor.H, insertor.W, 3)
     assert np.isfinite(out).all()
+
+
+def test_fused_frame_matches_multistage(insertor):
+    """Round-5 one-dispatch serving frame (_try_render_insert_fused) vs
+    the general multi-stage path: same field, same probe, same dirty
+    rect. PBR shade and compositing math are identical; only the
+    stochastic per-ray jitter streams differ (ray index layouts), so the
+    frames agree to jitter noise. Also pins that the fused path updates
+    the persistent last_rgb/last_depth buffers equivalently."""
+    os.environ["ARNERF_INSERT_BAKE_RES"] = "32"
+    insertor.use_baked = True
+    try:
+        H = W = 8
+        bbox = [[4, 4], [4 + H, 4 + W]]
+        bbox_last = [[2, 3], [2 + H, 3 + W]]
+        rng = np.random.default_rng(7)
+        normals = jnp.asarray(rng.normal(size=(H, W, 3)), jnp.float32)
+        normals = normals / jnp.linalg.norm(normals, axis=-1, keepdims=True)
+        depths = jnp.full((H, W), 1.0, jnp.float32)
+        pose = jnp.asarray(insertor.dataset.poses[0])
+        sh = insertor.generate_probe(jnp.zeros(3), sh_probe=True)
+
+        kw = dict(full_return=False, use_sg_base=False,
+                  sg_use_self_shadow=False, model_bbox=bbox,
+                  model_bbox_last=bbox_last)
+        insertor.key = jax.random.PRNGKey(11)
+        insertor.last_rgb = insertor.last_depth = None
+        out_f = insertor.render_insert_object(normals, depths, pose, sh,
+                                              **kw)
+        lr_f = np.asarray(insertor.last_rgb)
+        ld_f = np.asarray(insertor.last_depth)
+
+        # force the fallback path with identical inputs/keys
+        insertor.key = jax.random.PRNGKey(11)
+        insertor.last_rgb = insertor.last_depth = None
+        orig = insertor._try_render_insert_fused
+        insertor._try_render_insert_fused = \
+            lambda *a, **k2: None
+        try:
+            out_m = insertor.render_insert_object(normals, depths, pose,
+                                                  sh, **kw)
+        finally:
+            insertor._try_render_insert_fused = orig
+        lr_m = np.asarray(insertor.last_rgb)
+        ld_m = np.asarray(insertor.last_depth)
+
+        assert out_f.shape == out_m.shape
+        assert np.isfinite(out_f).all()
+        mse = float(np.mean((out_f - out_m) ** 2))
+        assert mse < 2e-3, mse
+        assert float(np.mean((lr_f - lr_m) ** 2)) < 2e-3
+        # depth agrees on covered pixels (jitter-level differences only)
+        assert float(np.median(np.abs(ld_f - ld_m))) < 0.05
+        # pixels OUTSIDE the update rect must be bit-identical (untouched)
+        un = np.ones(lr_f.shape[:2], bool)
+        un[2:4 + H, 3:4 + W] = False
+        assert np.array_equal(lr_f[un], lr_m[un])
+        insertor.last_rgb = insertor.last_depth = None
+    finally:
+        insertor.use_baked = False
+        insertor._baked = None
+        del os.environ["ARNERF_INSERT_BAKE_RES"]
+
+
+def test_fused_frame_sg_selfshadow_smoke(insertor):
+    """SG shading + self-shadow decay + SSDF shadow inside the fused
+    program: shape/finiteness (the SG quality math is pinned by
+    tests/test_sg_shadow.py; here we pin that the fused routing accepts
+    the full serving configuration)."""
+    pca = os.path.join(os.path.dirname(__file__), "..", "arnerf_tpu",
+                       "insert", "data")
+    os.environ["ARNERF_INSERT_BAKE_RES"] = "32"
+    insertor.use_baked = True
+    try:
+        H = W = 8
+        bbox = [[4, 4], [4 + H, 4 + W]]
+        rng = np.random.default_rng(9)
+        normals = jnp.asarray(rng.normal(size=(H, W, 3)), jnp.float32)
+        normals = normals / jnp.linalg.norm(normals, axis=-1, keepdims=True)
+        depths = jnp.full((H, W), 1.0, jnp.float32)
+        pose = jnp.asarray(insertor.dataset.poses[0])
+        l_sgs = jnp.concatenate([
+            jnp.asarray([[0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]),
+            jnp.full((2, 1), 8.0), jnp.full((2, 3), 1.0)], axis=1)
+        insertor.last_rgb = insertor.last_depth = None
+        out = insertor.render_insert_object(
+            normals, depths, pose, l_sgs, full_return=False,
+            use_sg_base=True, sg_use_self_shadow=True, model_bbox=bbox,
+            model_bbox_last=None, model_pos=jnp.zeros(3),
+            model_radius=0.3)
+        assert out.shape == (insertor.H, insertor.W, 3)
+        assert np.isfinite(out).all()
+        insertor.last_rgb = insertor.last_depth = None
+    finally:
+        insertor.use_baked = False
+        insertor._baked = None
+        del os.environ["ARNERF_INSERT_BAKE_RES"]
