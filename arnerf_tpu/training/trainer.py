@@ -789,8 +789,8 @@ class NeRFTrainer:
 
     # -- evaluation --------------------------------------------------------
 
-    def render_pose(self, pose, **kwargs):
-        dirs = self.directions
+    def render_pose(self, pose, dirs=None, **kwargs):
+        dirs = self.directions if dirs is None else dirs
         rays_o, rays_d = get_rays(dirs, jnp.asarray(pose))
         kwargs.setdefault("chunk", self.val_chunk)
         return render_test(self.model_params, self.grid_state, rays_o, rays_d,
@@ -801,7 +801,8 @@ class NeRFTrainer:
     def model_params(self):
         return {k: v for k, v in self.params.items() if k != "pose_deltas"}
 
-    def validate(self, max_images=None, compute_ssim=True, **render_kwargs):
+    def validate(self, max_images=None, compute_ssim=True, stride=1,
+                 **render_kwargs):
         from .metrics import ssim as ssim_fn
         # compacted fast path by default: identical compositing semantics
         # (survivor compaction only changes which buffer a ray marches in),
@@ -813,19 +814,35 @@ class NeRFTrainer:
         w, h = ds.img_wh
         n = len(ds.poses) if max_images is None else min(max_images,
                                                          len(ds.poses))
+        # stride > 1: render only every stride-th pixel in both axes and
+        # score against the equally strided GT — a ~stride^2-cheaper PSNR
+        # probe for mid-race snapshots (same estimator, subsampled pixel
+        # set; the race's crossing is still confirmed at full spec). SSIM
+        # is windowed, so it is only computed at stride 1.
+        s = max(1, int(stride))
+        dirs = None
+        if s > 1:
+            dirs = jnp.asarray(
+                np.asarray(self.directions).reshape(h, w, 3)[::s, ::s]
+                .reshape(-1, 3))
+            hs, ws = (h + s - 1) // s, (w + s - 1) // s
         psnrs, ssims = [], []
         for i in range(n):
-            out = self.render_pose(ds.poses[i], **render_kwargs)
-            pred = np.asarray(out["rgb"]).reshape(h, w, 3)
+            out = self.render_pose(ds.poses[i], dirs=dirs, **render_kwargs)
+            ph, pw = (hs, ws) if s > 1 else (h, w)
+            pred = np.asarray(out["rgb"]).reshape(ph, pw, 3)
             # synthetic background is white in training (exp_step_factor==0)
             if self.exp_step_factor == 0.0:
-                pred = pred + (1 - np.asarray(out["opacity"]).reshape(h, w, 1))
+                pred = pred + (1 - np.asarray(out["opacity"])
+                               .reshape(ph, pw, 1))
             gt = np.asarray(ds.rays[i][:, :3]).reshape(h, w, 3)
+            if s > 1:
+                gt = gt[::s, ::s]
             psnrs.append(float(psnr_fn(jnp.asarray(pred), jnp.asarray(gt))))
-            if compute_ssim:
+            if compute_ssim and s == 1:
                 ssims.append(float(ssim_fn(jnp.asarray(pred), jnp.asarray(gt))))
         out = {"psnr": float(np.mean(psnrs))}
-        if compute_ssim:
+        if compute_ssim and ssims:
             out["ssim"] = float(np.mean(ssims))
         return out
 

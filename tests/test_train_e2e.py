@@ -120,3 +120,17 @@ def test_train_converges_with_stochastic_corners():
     val = trainer.validate(max_images=1, compute_ssim=True)
     assert val["psnr"] > 17.0, val
     assert val["ssim"] > 0.5, val
+
+
+def test_strided_validate_matches_full():
+    """The stride>1 validate probe (bench race snapshots) scores the same
+    renderer on a subsampled pixel set; its PSNR must track the full-res
+    estimate closely (it is the same estimator, fewer pixels)."""
+    trainer = make_trainer()
+    trainer.on_train_start()
+    for _ in range(60):
+        trainer.train_step()
+    full = trainer.validate(max_images=1, compute_ssim=False)
+    s2 = trainer.validate(max_images=1, compute_ssim=False, stride=2)
+    assert abs(full["psnr"] - s2["psnr"]) < 0.8, (full, s2)
+    assert "ssim" not in s2  # SSIM is windowed; only computed at stride 1
