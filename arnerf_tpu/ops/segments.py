@@ -34,15 +34,102 @@ results are differences of nearby partial sums, so the absolute error is
 Adam's eps=1e-15 noise floor for gradients of order 1e-2.
 """
 
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def _use_sort_path():
     # CPU scatter is fast and exact; the sort pipeline only pays off on TPU
     return jax.default_backend() != "cpu"
+
+
+# --------------------------------------------------------------------------
+# MXU one-hot histogram (round 5): dense small levels leave the sort
+# --------------------------------------------------------------------------
+# In the stochastic-corner training regime the batched sort's row count is
+# dominated by QUERY rows (T_max = 2^19 per level) rather than updates
+# (M = 262k): the small dense levels (tables 4k-120k rows) pay a full
+# 524k-row query pad each. For those levels the dense cotangent is cheaper
+# as a literal one-hot matmul on the MXU:
+#
+#   d_table[t, f] = sum_n 1[idx_n == t] * g[n, f]
+#     == (G^T @ A)[f, t],  A[n, t] = 1[idx_n == t]
+#
+# A is never materialized in HBM: a Pallas kernel builds (Tc, Mc) one-hot
+# tiles in VMEM from an iota compare and accumulates G @ A^T into the
+# (16, T) output across M-chunks. Update values ride in bf16 (same
+# quantization class as the sort path's pack=True lane packing) and
+# accumulate in f32 — no cumsum-of-40M-elements error term at all.
+# FLOP cost is 2*M*T*16 effective (16 sublane rows for the bf16 tile, F=2
+# useful), so the trade only wins while T is small; the crossover vs the
+# level's ~1/16 share of the batched sort sits near T ~ 10^5 on the bench
+# chip (scripts/tpu_segsum_mxu.py).
+
+_HIST_MC = 2048    # M-chunk (contraction tile)
+_HIST_TC = 2048    # table-row tile (output lanes)
+_HIST_GROWS = 16   # bf16 sublane tile for the value rows (F real + pad)
+
+
+def _hist_kernel(idx_ref, g_ref, out_ref):
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+    tbase = pl.program_id(0) * _HIST_TC
+    iota = tbase + jax.lax.broadcasted_iota(
+        jnp.int32, (_HIST_TC, _HIST_MC), 0)
+    a = (idx_ref[0:1, :] == iota).astype(jnp.bfloat16)      # (Tc, Mc)
+    out_ref[:] += jax.lax.dot_general(
+        g_ref[:], a, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # (16, Tc)
+
+
+def mxu_segment_sum(idx, val_cols, num_rows: int, *, interpret=False):
+    """out[t] = sum of vals[i] where idx[i] == t, as one-hot MXU matmuls.
+
+    idx: (M,) int32 in [0, num_rows); val_cols: tuple of F (M,) floats.
+    Returns (num_rows, F) f32. Values are quantized to bf16 (see above).
+    """
+    F = len(val_cols)
+    assert F <= _HIST_GROWS
+    (M,) = idx.shape
+    mpad = (-M) % _HIST_MC
+    T_pad = num_rows + ((-num_rows) % _HIST_TC)
+    if mpad:
+        # -1 padding rows match no table row
+        idx = jnp.concatenate([idx.astype(jnp.int32),
+                               jnp.full((mpad,), -1, jnp.int32)])
+    else:
+        idx = idx.astype(jnp.int32)
+    rows = [jnp.pad(c.astype(jnp.bfloat16), (0, mpad))[None]
+            for c in val_cols]
+    if F < _HIST_GROWS:
+        rows.append(jnp.zeros((_HIST_GROWS - F, M + mpad), jnp.bfloat16))
+    g = jnp.concatenate(rows, axis=0)
+    grid = (T_pad // _HIST_TC, (M + mpad) // _HIST_MC)
+    out = pl.pallas_call(
+        _hist_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, _HIST_MC), lambda t, m: (0, m),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_HIST_GROWS, _HIST_MC), lambda t, m: (0, m),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_HIST_GROWS, _HIST_TC), lambda t, m: (0, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((_HIST_GROWS, T_pad), jnp.float32),
+        interpret=interpret,
+    )(idx[None], g)
+    return out[:F, :num_rows].T
+
+
+def _mxu_hist_max_size():
+    return int(os.environ.get("ARNERF_MXU_HIST", "65536"))
 
 
 def dense_segment_sum(idx, vals, num_rows: int, method: str = "auto"):
@@ -117,6 +204,33 @@ def dense_segment_sum_batched(idx, val_cols, sizes, method: str = "auto",
                     jnp.stack([c[l] for c in val_cols], axis=1))
                 for l in range(L)]
         return jnp.concatenate(outs, axis=0)
+
+    # MXU peel (round 5, default on for the bf16-packed path): the prefix
+    # of levels whose table fits under ARNERF_MXU_HIST (default 64k rows)
+    # computes its dense cotangent as one-hot MXU matmuls instead of
+    # paying a T_max = 2^19 query pad in the batched sort — in the
+    # stochastic regime queries are 2/3 of all sorted rows, and for the
+    # small dense levels ~all of that pad is waste. pack=True only: the
+    # MXU path quantizes updates to bf16 exactly like the sort's lane
+    # packing, so the exact-f32 path (pack=False) keeps the sort.
+    if pack and F <= _HIST_GROWS and jax.default_backend() == "tpu":
+        mxu = _mxu_hist_max_size()
+        kk = 0
+        while kk < L and sizes[kk] <= mxu:
+            kk += 1
+        if 0 < kk:
+            peeled = [mxu_segment_sum(
+                idx[l], tuple(c[l] for c in val_cols), sizes[l])
+                for l in range(kk)]
+            if kk == L:
+                rest = jnp.zeros((0, F), peeled[0].dtype)
+            else:
+                rest = dense_segment_sum_batched(
+                    idx[kk:], tuple(c[kk:] for c in val_cols), sizes[kk:],
+                    method="sort", stable=stable, pack=True, group=group)
+            return jnp.concatenate(
+                [p.astype(val_cols[0].dtype) for p in peeled] + [rest],
+                axis=0)
 
     # level grouping (default OFF — measured SLOWER on chip): splitting
     # the batch into two contiguous runs removes ~17% of sorted rows

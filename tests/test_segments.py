@@ -168,3 +168,25 @@ def test_segment_sum_heavy_collision_coarse_level():
     assert err.max() < 5e-4, err.max()
     rel = err / (np.abs(ref) + 1e-2)
     assert rel.max() < 0.05, rel.max()
+
+
+def test_mxu_segment_sum_interpret_matches_scatter():
+    """Round-5 MXU one-hot histogram (interpret mode on CPU): matches the
+    exact scatter reference to bf16-update quantization tolerance, across
+    table sizes including non-multiples of the tile and idx padding."""
+    from arnerf_tpu.ops.segments import mxu_segment_sum
+    rng = np.random.default_rng(3)
+    for M, T in ((5000, 4096), (2048, 100), (100, 9261)):
+        idx = rng.integers(0, T, M).astype(np.int32)
+        vals = [rng.normal(size=M).astype(np.float32) * 1e-2
+                for _ in range(2)]
+        out = np.asarray(mxu_segment_sum(
+            jnp.asarray(idx), tuple(jnp.asarray(v) for v in vals), T,
+            interpret=True))
+        ref = np.zeros((T, 2), np.float64)
+        for f in range(2):
+            np.add.at(ref[:, f], idx, vals[f].astype(np.float64))
+        assert out.shape == (T, 2)
+        err = np.abs(out - ref)
+        rel = err.max() / (np.abs(ref).max() + 1e-12)
+        assert rel < 0.01, (M, T, rel)
