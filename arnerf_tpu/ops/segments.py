@@ -66,9 +66,17 @@ def _use_sort_path():
 # quantization class as the sort path's pack=True lane packing) and
 # accumulate in f32 — no cumsum-of-40M-elements error term at all.
 # FLOP cost is 2*M*T*16 effective (16 sublane rows for the bf16 tile, F=2
-# useful), so the trade only wins while T is small; the crossover vs the
-# level's ~1/16 share of the batched sort sits near T ~ 10^5 on the bench
-# chip (scripts/tpu_segsum_mxu.py).
+# useful).
+#
+# MEASURED NEGATIVE RESULT (round 5, scripts/tpu_segsum_mxu.py on chip):
+# default OFF. The batched sort's cost is ~flat in the number of levels
+# (lanes parallelize the L dim; peeling 2-6 of 16 levels left the sort at
+# ~55 ms), while the histogram kernel pays ~2.5 ms/level of grid-step
+# overhead (256+ (Tc, Mc) tiles each ~20 us of dispatch+DMA+A-build; the
+# dot itself is ~1 us/tile): peel<=16k/64k/128k/256k measured
+# 60/73/94/141 ms vs 55.5 ms sort-only. The sort's padding waste is not
+# reachable this way; kept (default off) for shapes with far larger M/T
+# ratios where the matmul could win.
 
 _HIST_MC = 2048    # M-chunk (contraction tile)
 _HIST_TC = 2048    # table-row tile (output lanes)
@@ -129,7 +137,8 @@ def mxu_segment_sum(idx, val_cols, num_rows: int, *, interpret=False):
 
 
 def _mxu_hist_max_size():
-    return int(os.environ.get("ARNERF_MXU_HIST", "65536"))
+    # default 0 = off (measured slower at the training shape; see above)
+    return int(os.environ.get("ARNERF_MXU_HIST", "0"))
 
 
 def dense_segment_sum(idx, vals, num_rows: int, method: str = "auto"):
@@ -205,7 +214,8 @@ def dense_segment_sum_batched(idx, val_cols, sizes, method: str = "auto",
                 for l in range(L)]
         return jnp.concatenate(outs, axis=0)
 
-    # MXU peel (round 5, default on for the bf16-packed path): the prefix
+    # MXU peel (round 5, DEFAULT OFF — measured slower, see module note;
+    # enable via ARNERF_MXU_HIST=<max_rows>): the prefix
     # of levels whose table fits under ARNERF_MXU_HIST (default 64k rows)
     # computes its dense cotangent as one-hot MXU matmuls instead of
     # paying a T_max = 2^19 query pad in the batched sort — in the
