@@ -152,18 +152,30 @@ def sigma_decode(code):
     return jnp.exp2(code.astype(jnp.float32) / LOGQ) - 1.0
 
 
-def build_sigma_bricks(rows_sigma, B: int):
-    """(B^3,) baked sigma (z-fastest) -> ((ceil(B/8))^3, 512) uint8 brick
-    table: row b holds brick b's 8^3 voxels z-fastest, log-coded. Pure jnp
-    (device-side; the table is ~16.8 MB at 256^3). Pad voxels (B not a
-    multiple of 8) encode sigma 0."""
+def build_sigma_bricks(rows_sigma, B: int, mip_dist=None):
+    """(B^3,) baked sigma (z-fastest) -> ((ceil(B/8))^3, 512 or 640) uint8
+    brick table: row b holds brick b's 8^3 voxels z-fastest, log-coded.
+    Pure jnp (device-side; ~16.8 MB at 256^3). Pad voxels (B not a
+    multiple of 8) encode sigma 0.
+
+    mip_dist (round 5): the Chebyshev distance transform at supercell ==
+    brick granularity (MIP_FACTOR == BRICK). When given, the row widens to
+    640 lanes (one 128-lane tile) and lane 512 carries the brick's
+    distance value — the renderer's empty-space skip reads it from the
+    SAME gathered row (wide-row gathers are row-issue priced, so the
+    extra lanes ride free; scripts/tpu_brick_probe.py)."""
     F = BRICK
     Bb = -(-B // F)
     sig = jnp.asarray(rows_sigma).reshape(B, B, B)
     if Bb * F != B:
         sig = jnp.pad(sig, ((0, Bb * F - B),) * 3)
     codes = sigma_encode(sig).reshape(Bb, F, Bb, F, Bb, F)
-    return codes.transpose(0, 2, 4, 1, 3, 5).reshape(Bb ** 3, F ** 3)
+    bricks = codes.transpose(0, 2, 4, 1, 3, 5).reshape(Bb ** 3, F ** 3)
+    if mip_dist is None:
+        return bricks
+    ext = jnp.zeros((Bb ** 3, 128), jnp.uint8)
+    ext = ext.at[:, 0].set(jnp.asarray(mip_dist).astype(jnp.uint8))
+    return jnp.concatenate([bricks, ext], axis=1)
 
 
 def build_sigma_mip(rows_sigma, B: int):
@@ -415,10 +427,10 @@ def _bake_finalize_program(scale: float, B: int, dtype):
         aabb_lo = jnp.where(any_occ, jnp.stack(los), jnp.full(3, -scale))
         aabb_hi = jnp.where(any_occ, jnp.stack(his), jnp.full(3, scale))
         mip = build_sigma_mip(rows[:, 0], B)
+        mip_dist = build_mip_dist(mip, -(-B // MIP_FACTOR))
         return (rows.astype(dtype), aabb_lo, aabb_hi, mip,
-                rows[:, 0].astype(jnp.float32),
-                build_mip_dist(mip, -(-B // MIP_FACTOR)),
-                build_sigma_bricks(rows[:, 0], B))
+                rows[:, 0].astype(jnp.float32), mip_dist,
+                build_sigma_bricks(rows[:, 0], B, mip_dist=mip_dist))
 
     return finalize
 
@@ -1433,7 +1445,8 @@ def _brick_extract(codes, off, method: str = "wheresum"):
 
 @partial(jax.jit, static_argnames=(
     "B", "scale", "dt", "K", "T_threshold", "max_rounds", "color_window",
-    "compact", "block4", "phase_floor", "phase_max", "phase_ratio"))
+    "compact", "block4", "phase_floor", "phase_max", "phase_ratio",
+    "dist_skip"))
 def render_baked_bricks(bricks, rows, row_index, rows_q, mip,
                         aabb_lo, aabb_hi, rays_o, rays_d, key, *,
                         B: int, scale: float, dt: float, K: int,
@@ -1441,7 +1454,7 @@ def render_baked_bricks(bricks, rows, row_index, rows_q, mip,
                         color_window: int = 8, compact: bool = True,
                         block4: bool = False, phase_floor: int = 4096,
                         phase_max: int = 7, phase_ratio: float = 2.0,
-                        t_far=None):
+                        t_far=None, dist_skip: bool = True):
     """Brick-marching baked render chunk (round 5's interactive path).
 
     Where render_baked_uniform pays one HBM gather ROW per SAMPLE (the
@@ -1481,6 +1494,8 @@ def render_baked_bricks(bricks, rows, row_index, rows_q, mip,
     Wc = color_window
     F = BRICK
     Bb = -(-B // F)
+    # empty-space skip available iff the table carries the dist lane
+    has_dist = bool(dist_skip) and int(bricks.shape[1]) > F ** 3
     vox = 2.0 * scale / B
     dn = jnp.linalg.norm(rays_d, axis=-1, keepdims=True).clip(1e-12)
     rays_d = rays_d / dn
@@ -1559,8 +1574,25 @@ def render_baked_bricks(bricks, rows, row_index, rows_q, mip,
             tax = jnp.where(jnp.abs(rd_p) > 1e-9,
                             (far - ro_p) / rd_p, jnp.inf)
             t_exit = jnp.min(tax, axis=1)                        # (Np,)
-            n_in = jnp.clip(jnp.ceil((t_exit - t_cur) / dt)
-                            .astype(jnp.int32), 1, K)
+            if has_dist:
+                # empty-space skip (round 5): lane 512 carries the brick's
+                # Chebyshev distance to the nearest dilated-occupied
+                # supercell. d >= 1 proves every brick within max-norm
+                # radius d-1 empty, so the ray exits the expanded box in
+                # ONE round instead of one round per crossed brick. The
+                # advance stays a multiple of dt (ladder alignment and
+                # the integral are unchanged — skipped samples all carry
+                # sigma 0); only the per-sample jitter draws differ.
+                d_sk = codes[:, F ** 3].astype(jnp.float32)      # (Np,)
+                ex = jnp.maximum(d_sk - 1.0, 0.0)[:, None] * (F * vox)
+                far2 = jnp.where(rd_p > 0, bhi + ex, blo - ex)
+                tax2 = jnp.where(jnp.abs(rd_p) > 1e-9,
+                                 (far2 - ro_p) / rd_p, jnp.inf)
+                t_exit = jnp.where(d_sk >= 1.0,
+                                   jnp.min(tax2, axis=1), t_exit)
+            n_adv = jnp.maximum(jnp.ceil((t_exit - t_cur) / dt)
+                                .astype(jnp.int32), 1)
+            n_in = jnp.minimum(n_adv, K)
             ks = jnp.arange(K, dtype=jnp.int32)[None, :]
             ts = t_cur[:, None] + ks.astype(jnp.float32) * dt    # (Np, K)
             in_range = (ks < n_in[:, None]) & (ts < te_p[:, None]) \
@@ -1581,7 +1613,7 @@ def render_baked_bricks(bricks, rows, row_index, rows_q, mip,
                                bidx[:, d:d + 1] * F + F - 1)
                 offs.append(idd - bidx[:, d:d + 1] * F)
             off = (offs[0] * F + offs[1]) * F + offs[2]          # (Np, K)
-            sig = sigma_decode(_brick_extract(codes, off))
+            sig = sigma_decode(_brick_extract(codes[:, :F ** 3], off))
             sig = jnp.where(in_range, sig, 0.0)
             sd = sig * dt
             sd_excl = jnp.cumsum(sd, axis=1) - sd
@@ -1599,7 +1631,7 @@ def render_baked_bricks(bricks, rows, row_index, rows_q, mip,
             bw = bw + jnp.sum(w[:, :, None] * ob, axis=1)        # (Np, Wc)
             bwt = bwt + jnp.sum((w * ts)[:, :, None] * ob, axis=1)
             t_cur = jnp.where(alive,
-                              t_cur + n_in.astype(jnp.float32) * dt, t_cur)
+                              t_cur + n_adv.astype(jnp.float32) * dt, t_cur)
             alive = alive & ((1.0 - opacity) > T_threshold) \
                 & (t_cur < te_p)
             return (t_cur, opacity, depth, bw, bwt, alive, rounds + 1)
@@ -1763,7 +1795,8 @@ def render_baked(baked: BakedField, grid_state, rays_o, rays_d, cfg, *,
                  dt_scale=None, exp_step_factor: float = 0.0,
                  stats: dict = None, color_window: int = 8, img_wh=None,
                  mesh_depth_map=None, dist_prelude: bool = False,
-                 bricks: bool = True):
+                 bricks: bool = True, display: bool = False,
+                 white_bg: float = 1.0):
     """Full-frame baked render.
 
     bricks=True (default) routes single-cascade stochastic renders with a
@@ -1804,7 +1837,21 @@ def render_baked(baked: BakedField, grid_state, rays_o, rays_d, cfg, *,
     N = rays_o.shape[0]
     opacity = np.zeros(N, np.float32)
     depth = np.zeros(N, np.float32)
-    rgb = np.zeros((N, 3), np.float32)
+    if display:
+        # display mode (round 5, VERDICT r4 #6): the e2e frame cost is
+        # dominated by the ~20 MB/s tunnel readback (13 MB of f32 for an
+        # 800x800 frame), not renderer work. A GUI consumes a u8 image,
+        # so pack it ON DEVICE — background blend + clip + u8 rgb, f16
+        # opacity/depth — one tiny jitted dispatch per bucket, ~5x fewer
+        # readback bytes.
+        rgb8 = np.zeros((N, 3), np.uint8)
+        rgb8[:] = int(np.clip(white_bg, 0, 1) * 255 + 0.5)  # bg for misses
+        pack = jax.jit(lambda r, o, d: (
+            (jnp.clip(r + white_bg * (1.0 - o)[:, None], 0.0, 1.0)
+             * 255 + 0.5).astype(jnp.uint8),
+            o.astype(jnp.float16), d.astype(jnp.float16)))
+    else:
+        rgb = np.zeros((N, 3), np.float32)
 
     buckets, _, blocked = cull_and_buckets(baked, rays_o, rays_d, chunk,
                                            img_wh=img_wh)
@@ -1857,12 +1904,21 @@ def render_baked(baked: BakedField, grid_state, rays_o, rays_d, cfg, *,
                 row_index=baked.row_index, rows_q=baked.rows_q, t_far=t_far,
                 mip_dist=(getattr(baked, "mip_dist", None)
                           if dist_prelude else None))
-        opacity[sl] = np.asarray(res["opacity"])[:n]
-        depth[sl] = np.asarray(res["depth"])[:n]
-        rgb[sl] = np.asarray(res["rgb"])[:n]
+        if display:
+            r8, o16, d16 = pack(res["rgb"], res["opacity"], res["depth"])
+            rgb8[sl] = np.asarray(r8)[:n]
+            opacity[sl] = np.asarray(o16, np.float32)[:n]
+            depth[sl] = np.asarray(d16, np.float32)[:n]
+        else:
+            opacity[sl] = np.asarray(res["opacity"])[:n]
+            depth[sl] = np.asarray(res["depth"])[:n]
+            rgb[sl] = np.asarray(res["rgb"])[:n]
         if stats is not None:
             stats["rounds"].append(int(res["rounds"]))
             stats["n_prelude_alive"].append(int(res["n_prelude_alive"]))
+    if display:
+        return {"opacity": jnp.asarray(opacity), "depth": jnp.asarray(depth),
+                "rgb_u8": rgb8}
     return {"opacity": jnp.asarray(opacity), "depth": jnp.asarray(depth),
             "rgb": jnp.asarray(rgb)}
 

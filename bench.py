@@ -496,17 +496,20 @@ def main():
         bake_occ_frac_baked = float(
             (np.asarray(baked.sigma) > 0).mean()) if baked.sigma is not None \
             else 0.0
+        # e2e frames run DISPLAY mode (round 5): on-device white-bg blend
+        # + u8 pack, i.e. exactly the artifact a GUI consumes — the f32
+        # readback it replaces was ~5x more tunnel bytes (VERDICT r4 #6)
         res = render_baked(baked, trainer.grid_state,
                            rays_o, rays_d, cfg, T_threshold=1e-2,
-                           color_window=4, img_wh=(800, 800))  # warm
-        _sync(res["rgb"])
+                           color_window=4, img_wh=(800, 800),
+                           display=True)  # warm
+        assert res["rgb_u8"].shape == (800 * 800, 3)
         t0 = time.time()
         for i in range(3):
             res = render_baked(baked, trainer.grid_state, rays_o, rays_d,
                                cfg, key=jax.random.PRNGKey(i),
                                T_threshold=1e-2, color_window=4,
-                               img_wh=(800, 800))
-            _sync(res["rgb"])
+                               img_wh=(800, 800), display=True)
         fps_baked = 3 / (time.time() - t0)
         # device-side: all bucket dispatches, one scalar sync, keys premade
         frame = baked_frame_device_fn(baked, rays_o, rays_d,

@@ -143,13 +143,22 @@ class NGPGUI:
             import jax
             from arnerf_tpu.rendering_baked import render_baked
             self._frame += 1
+            # display mode (round 5): LDR frames blend+pack to u8 ON
+            # DEVICE — the f32 frame readback through the remote tunnel
+            # was ~2/3 of the e2e frame cost (VERDICT r4 #6). EXR/HDR
+            # paths keep the f32 radiance readback (they tonemap here).
+            use_disp = not self.hparams.use_EXR
             out = render_baked(
                 self.baked, self.grid_state, rays_o, rays_d, self.cfg,
                 key=jax.random.PRNGKey(self._frame),
                 exp_step_factor=exp_step_factor, T_threshold=1e-2,
                 # interactive spec: color_window 4 (chip sweep r4 —
                 # +2.4x object FPS at -0.34 dB on the trained scene)
-                color_window=4, img_wh=(cam.W, cam.H))
+                color_window=4, img_wh=(cam.W, cam.H),
+                display=use_disp, white_bg=0.0)
+            if use_disp:
+                out['rgb'] = np.asarray(out.pop('rgb_u8'),
+                                        np.float32) / 255.0
             out['total_samples'] = 0
         else:
             kwargs = {}

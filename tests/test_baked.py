@@ -943,3 +943,32 @@ def test_mc_prelude_and_compaction_invariance():
     # recorded: base 28.22 dB / 0.0155, fast 28.22 dB / 0.0154
     assert stats["fast"][0] > stats["base"][0] - 0.25, stats
     assert stats["fast"][1] < stats["base"][1] + 0.002, stats
+
+
+def test_display_mode_matches_f32_path():
+    """display=True (round 5): on-device white-bg blend + u8 pack must
+    agree with the f32 path's host-side composition to u8 rounding."""
+    cfg = NGPConfig(scale=SCALE)
+    gs = make_grid_state(cfg)
+    baked = bake_field(analytic_field, SCALE, resolution=48, n_dirs=16,
+                       occ_mask=None, dtype=jnp.float32)
+    W = H = 48
+    f = 0.5 * W / np.tan(0.5 * np.deg2rad(45.0))
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
+    dirs = jnp.asarray(get_ray_directions(H, W, K))
+    pose = look_at_pose(np.array([0.9, 0.25, 0.75]))
+    ro, rd = get_rays(dirs, jnp.asarray(pose))
+    rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    key = jax.random.PRNGKey(5)
+    a = render_baked(baked, gs, ro, rd, cfg, key=key, T_threshold=1e-4,
+                     chunk=1 << 11)
+    b = render_baked(baked, gs, ro, rd, cfg, key=key, T_threshold=1e-4,
+                     chunk=1 << 11, display=True, white_bg=1.0)
+    ref = np.clip(np.asarray(a["rgb"])
+                  + (1 - np.asarray(a["opacity"]))[:, None], 0, 1)
+    got = np.asarray(b["rgb_u8"], np.float32) / 255.0
+    assert np.abs(got - ref).max() < 2.5 / 255.0, np.abs(got - ref).max()
+    np.testing.assert_allclose(np.asarray(b["opacity"]),
+                               np.asarray(a["opacity"]), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(b["depth"]),
+                               np.asarray(a["depth"]), rtol=2e-3, atol=2e-3)
