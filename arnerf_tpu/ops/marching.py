@@ -39,6 +39,56 @@ def pl_cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def small_table_lookup(table_u8, idx):
+    """Boolean lookup `table_u8[idx] > 0` for a TINY table without an HBM
+    row gather.
+
+    The coarse occupancy grid is 4096 cells (CG=16 supercells, single
+    cascade) but the marcher queries it ~1M times per step — at the
+    chip's ~12 ns/row gather-issue rate that is ~12 ms/step for 512 bytes
+    of actual data. Here the table is bit-packed into W = ceil(T/32)
+    int32 words, broadcast across rows, and each query extracts its bit
+    with jnp.take_along_axis along the LANE axis (lowered as a
+    column-batched dynamic gather on TPU) + a shift — VPU work priced per
+    lane, not an HBM row per query.
+
+    Exact: returns the same boolean as `table_u8[idx] > 0` for idx in
+    range. Falls back to the plain gather when the packed table would
+    exceed 512 lanes (16k entries)."""
+    T = table_u8.shape[0]
+    W = pl_cdiv(T, 32)
+    if W > 512:
+        return table_u8[idx] > 0
+    bits = (table_u8 > 0).astype(jnp.uint32)
+    bits = jnp.pad(bits, (0, W * 32 - T)).reshape(W, 32)
+    words = (bits << jnp.arange(32, dtype=jnp.uint32)[None, :]).sum(
+        axis=1).astype(jnp.int32)                              # (W,)
+    shape = idx.shape
+    flat = idx.reshape(-1).astype(jnp.int32)
+    R = flat.shape[0]
+    w = (flat >> 5)[:, None]                                   # (R, 1)
+    row = jnp.broadcast_to(words[None, :], (R, W))
+    word = jnp.take_along_axis(row, w, axis=1)[:, 0]
+    bit = (word >> (flat & 31)) & 1
+    return (bit > 0).reshape(shape)
+
+
+def _coarse_test(occ_coarse, cflat):
+    """Coarse-supercell occupancy test, `occ_coarse[cflat] > 0`.
+
+    The lane-packed `small_table_lookup` variant (ARNERF_VPU_COARSE=1)
+    prices the ~1M queries/step as VPU lanes instead of HBM gather rows —
+    but MEASURED SLOWER on chip (default OFF): +7 ms/step at the bench
+    shape (172.0 vs 165.1 ms, bench_runs/r5_hoist_ab*.log) — XLA lowers
+    the broadcast + take_along_axis to a materialized (R, W) operand and
+    a real gather rather than a lane permute. Kept as an A/B knob."""
+    import os
+    if (jax.default_backend() != "cpu"
+            and os.environ.get("ARNERF_VPU_COARSE", "0") == "1"):
+        return small_table_lookup(occ_coarse, cflat)
+    return occ_coarse[cflat] > 0
+
+
 class MarchResults(NamedTuple):
     xyzs: jnp.ndarray       # (M, 3) sample positions (0 where invalid)
     dirs: jnp.ndarray       # (M, 3) ray directions per sample
@@ -232,7 +282,7 @@ def march_rays_train(rays_o, rays_d, hits_t, occ_flat, noise, *,
         nc = jnp.clip(0.5 * (pos_s / mb + 1.0) * CG, 0.0, CG - 1.0)
         nc = nc.astype(jnp.int32)
         cflat = (nc[..., 0] * CG + nc[..., 1]) * CG + nc[..., 2]
-        seg_occ = occ_coarse[cflat] > 0
+        seg_occ = _coarse_test(occ_coarse, cflat)
         seg_elig = seg_occ & (t_seg < t2[:, None]) & ray_ok[:, None]
         c1 = jnp.cumsum(seg_elig.astype(jnp.int32), axis=1)
         max_nseg = jnp.max(c1[:, -1])          # pre-clamp: truncation guard
@@ -419,7 +469,7 @@ def march_rays_train_pooled(rays_o, rays_d, hits_t, occ_flat, noise, *,
     nc = jnp.clip(0.5 * (pos_s / mb + 1.0) * CG, 0.0, CG - 1.0)
     nc = nc.astype(jnp.int32)
     cflat = (nc[..., 0] * CG + nc[..., 1]) * CG + nc[..., 2]
-    seg_elig = (occ_coarse[cflat] > 0) & (t_seg < t2[:, None]) \
+    seg_elig = _coarse_test(occ_coarse, cflat) & (t_seg < t2[:, None]) \
         & ray_ok[:, None]
     if selection == "sort":
         dseg = jnp.sum(seg_elig.astype(jnp.int32), axis=1)     # (N,)
@@ -625,7 +675,7 @@ def march_rays_test(rays_o, rays_d, t_cur, t2, occ_flat, *,
         nc = jnp.clip(0.5 * (pos_s / mb + 1.0) * CG, 0.0, CG - 1.0)
         nc = nc.astype(jnp.int32)
         cflat = (nc[..., 0] * CG + nc[..., 1]) * CG + nc[..., 2]
-        seg_elig = (occ_coarse[cflat] > 0) & (t_seg < t2[:, None])
+        seg_elig = _coarse_test(occ_coarse, cflat) & (t_seg < t2[:, None])
         nseg_raw = jnp.sum(seg_elig.astype(jnp.int32), axis=1)
         nseg = jnp.minimum(nseg_raw, seg_cap)
         truncated = nseg_raw > seg_cap

@@ -55,7 +55,7 @@ def render_train(params, grid_state, rays_o, rays_d, key, cfg: NGPConfig, *,
                  s_cap: int = MAX_SAMPLES, max_samples: int = MAX_SAMPLES,
                  seg_cap: int = 64, exposure=None, mesh_depth_map=None,
                  stoch: bool = False, seg_pool: int = 0,
-                 selection: str = "search"):
+                 selection: str = "search", march_results=None):
     """Differentiable training-path render. Returns the reference's results
     dict (rendering.py:255-298): rgb, opacity, depth, ws, deltas, ts +
     segment layout + sample counters.
@@ -74,9 +74,23 @@ def render_train(params, grid_state, rays_o, rays_d, key, cfg: NGPConfig, *,
     selection ("search" | "sort") picks the pooled marcher's compaction
     algorithm — see march_rays_train_pooled; identical sample sets when
     the budgets fit, and "sort" replaces ~21 serial gather rounds with
-    one sort (the chip-measured march bottleneck)."""
+    one sort (the chip-measured march bottleneck).
+
+    march_results: precomputed MarchResults for these rays/keys (the
+    trainer's hoisted block march — marching is parameter-independent, so
+    the 16-step block marches all its steps in ONE batched pass where the
+    selection sorts amortize; see trainer.hoisted_block_march). Must have
+    been produced with the SAME key/grid/budgets this call would use; the
+    k_noise/k_bg/k_stoch splits below are unchanged so every other random
+    draw stays bit-identical to the unhoisted path."""
     k_noise, k_bg, k_stoch = jax.random.split(key, 3)
     seed = jax.random.bits(k_stoch, dtype=jnp.uint32) if stoch else None
+    if march_results is not None:
+        mr = march_results
+        return _render_train_from_march(
+            params, mr, k_bg, cfg, seed=seed, random_bg=random_bg,
+            exp_step_factor=exp_step_factor, T_threshold=T_threshold,
+            exposure=exposure)
     hits = scene_hits(rays_o, rays_d, cfg, mesh_depth_map)
     noise = jax.random.uniform(k_noise, (rays_o.shape[0],))
     occ_coarse = None
@@ -112,6 +126,18 @@ def render_train(params, grid_state, rays_o, rays_d, key, cfg: NGPConfig, *,
             m_cap=m_cap, s_cap=s_cap, occ_coarse=occ_coarse,
             seg_cap=max(seg_cap, 1), selection=selection)
 
+    return _render_train_from_march(
+        params, mr, k_bg, cfg, seed=seed, random_bg=random_bg,
+        exp_step_factor=exp_step_factor, T_threshold=T_threshold,
+        exposure=exposure)
+
+
+def _render_train_from_march(params, mr, k_bg, cfg: NGPConfig, *, seed,
+                             random_bg: bool, exp_step_factor: float,
+                             T_threshold: float, exposure=None):
+    """Field eval + composite + background blend over a MarchResults —
+    the parameter-dependent tail of render_train, shared by the in-step
+    marching path and the trainer's hoisted block march."""
     sample_exposure = None
     if exposure is not None:
         sample_exposure = exposure[mr.ray_idx]

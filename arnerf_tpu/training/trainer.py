@@ -84,6 +84,18 @@ class TrainConfig:
     # window). Bit-identical sample sets to "search" in every regime
     # (same allocation + striding policy; pinned by test).
     march_selection: str = "sort"
+    # hoist the block's marching OUT of the 16-step scan: marching depends
+    # only on rays (per-step RNG) + the occupancy grid (frozen within a
+    # block), never on network params, so all `update_interval` steps can
+    # march in ONE batched pass before the scan, bit-identically
+    # (tests/test_march_hoist.py). MEASURED SLOWER on chip — default OFF:
+    # 178.6 vs 165.1 ms/step at the bench shape (0.92x,
+    # bench_runs/r5_hoist_ab*.log). The sort-selection march's sorts are
+    # only ~7 ms of its 63 (the rest is linear-cost gathers, which batch
+    # with no amortization), while the vmapped pre-march materializes its
+    # (16, ...) intermediates to HBM instead of fusing into the scan body.
+    # Kept as an option for shapes where selection sorts dominate.
+    march_hoist: bool = False
     # exact-corner finish: stochastic single-corner gathers train ~3x
     # faster but optimize the STOCHASTIC forward — validation/baking
     # evaluate exact trilerp, and that mismatch plus gradient noise costs
@@ -187,10 +199,65 @@ def sample_rays(images, poses, directions, key, tc: TrainConfig,
     return rays_o, rays_d, rgb_gt, exposure
 
 
+def _hoist_active(cfg: NGPConfig, tc: TrainConfig, seg_cap: int) -> bool:
+    """Whether the hoisted block march applies (see TrainConfig.march_hoist):
+    pooled sort-selection marching on a single-cascade scene, no pose
+    optimization (pose grads flow through sample positions)."""
+    return (tc.march_hoist and tc.seg_pool and seg_cap > 0
+            and cfg.cascades == 1 and tc.march_selection == "sort"
+            and not tc.optimize_ext)
+
+
+def hoisted_block_march(grid_state, images, poses, directions, keys, *,
+                        cfg: NGPConfig, tc: TrainConfig,
+                        exp_step_factor: float, seg_cap: int):
+    """March every step of a block in one batched pass (stacked over steps).
+
+    Marching is parameter-independent: it reads only the rays (determined
+    by each step's key), the occupancy grid (frozen within a block), and
+    per-step noise. The per-step key splits below mirror train_step_impl /
+    render_train EXACTLY, so the vmapped marcher produces bit-identical
+    MarchResults to the in-step path (tests/test_march_hoist.py). The win
+    is on TPU: the selection sorts are pass-latency-bound at per-step
+    sizes, so one (S, n)-batched sort costs a fraction of S separate
+    sorts, and build_coarse_occupancy runs once per block instead of once
+    per step."""
+    from ..ops.marching import (build_coarse_occupancy,
+                                coarse_dilation_radius,
+                                march_rays_train_pooled)
+    from ..rendering import scene_hits, default_candidates
+
+    occ_coarse = build_coarse_occupancy(
+        grid_state.occ_flat, cfg.cascades, cfg.grid_size,
+        dilate=coarse_dilation_radius(
+            scale=cfg.scale, exp_step_factor=exp_step_factor,
+            grid_size=cfg.grid_size, max_samples=tc.max_samples))
+    m_cap = tc.batch_size * tc.samples_per_ray_budget
+
+    def one(key):
+        k_sample, k_render = jax.random.split(key)
+        rays_o, rays_d, _, _ = sample_rays(
+            images, poses, directions, k_sample, tc, None)
+        k_noise, _, _ = jax.random.split(k_render, 3)
+        hits = scene_hits(rays_o, rays_d, cfg)
+        noise = jax.random.uniform(k_noise, (rays_o.shape[0],))
+        return march_rays_train_pooled(
+            rays_o, rays_d, hits, grid_state.occ_flat, noise,
+            scale=cfg.scale, cascades=cfg.cascades,
+            exp_step_factor=exp_step_factor, grid_size=cfg.grid_size,
+            max_samples=tc.max_samples,
+            n_candidates=default_candidates(cfg, exp_step_factor,
+                                            tc.max_samples),
+            m_cap=m_cap, s_cap=tc.s_cap, occ_coarse=occ_coarse,
+            seg_pool_cap=tc.batch_size * seg_cap, selection="sort")
+
+    return jax.vmap(one)(keys)
+
+
 def train_step_impl(params, opt_state, grid_state, images, poses, directions,
                     key, step, *, cfg: NGPConfig, tc: TrainConfig, tx,
                     exp_step_factor: float, axis_name: Optional[str] = None,
-                    seg_cap: int = 64, tp=None):
+                    seg_cap: int = 64, tp=None, mr=None):
     """Pure training step; when axis_name is set, gradients/metrics are
     psum-joined across the device mesh (the DDP all-reduce equivalent).
     When `tp` (a parallel.tp.TableSharding) is set, params arrive with the
@@ -219,7 +286,9 @@ def train_step_impl(params, opt_state, grid_state, images, poses, directions,
             # shared segment pool sized by the batch mean (seg_cap slots/ray)
             seg_pool=(tc.batch_size * seg_cap
                       if tc.seg_pool and seg_cap > 0 else 0),
-            selection=tc.march_selection)
+            selection=tc.march_selection,
+            march_results=jax.lax.stop_gradient(mr) if mr is not None
+            else None)
         ld = nerf_loss(results, rgb_gt, tc.loss)
         if tc.use_exposure:
             # anchor the tonemappers at unit exposure (reference
@@ -266,15 +335,23 @@ def scan_steps_impl(params, opt_state, grid_state, images, poses,
                     axis_name: Optional[str] = None, seg_cap: int = 64,
                     tp=None):
     """`len(keys)` training steps as one compiled scan (no grid update)."""
-    def body(carry, k):
+    mrs = None
+    if _hoist_active(cfg, tc, seg_cap):
+        mrs = hoisted_block_march(
+            grid_state, images, poses, directions, keys, cfg=cfg, tc=tc,
+            exp_step_factor=exp_step_factor, seg_cap=seg_cap)
+
+    def body(carry, xs):
+        k, mr = xs
         p, o = carry
         p, o, metrics = train_step_impl(
             p, o, grid_state, images, poses, directions, k, 0,
             cfg=cfg, tc=tc, tx=tx, exp_step_factor=exp_step_factor,
-            axis_name=axis_name, seg_cap=seg_cap, tp=tp)
+            axis_name=axis_name, seg_cap=seg_cap, tp=tp, mr=mr)
         return (p, o), metrics
 
-    (params, opt_state), ms = jax.lax.scan(body, (params, opt_state), keys)
+    (params, opt_state), ms = jax.lax.scan(
+        body, (params, opt_state), (keys, mrs))
     metrics = jax.tree.map(lambda x: x[-1], ms)
     if "nseg" in ms:
         metrics["nseg"] = jnp.max(ms["nseg"])    # block max, not last
@@ -308,17 +385,25 @@ def train_block_impl(params, opt_state, grid_state, images, poses,
         model_params, grid_state, k_grid, cfg, density_threshold=thr,
         warmup=warmup, decay=tc.density_decay, erode=tc.erode)
 
-    def body(carry, k):
+    keys = jax.random.split(k_steps, tc.update_interval)
+    seg_cap = 0 if warmup else tc.seg_cap
+    mrs = None
+    if _hoist_active(cfg, tc, seg_cap):
+        mrs = hoisted_block_march(
+            grid_state, images, poses, directions, keys, cfg=cfg, tc=tc,
+            exp_step_factor=exp_step_factor, seg_cap=seg_cap)
+
+    def body(carry, xs):
+        k, mr = xs
         p, o = carry
         p, o, metrics = train_step_impl(
             p, o, grid_state, images, poses, directions, k, 0,
             cfg=cfg, tc=tc, tx=tx, exp_step_factor=exp_step_factor,
-            axis_name=axis_name, seg_cap=0 if warmup else tc.seg_cap,
-            tp=tp)
+            axis_name=axis_name, seg_cap=seg_cap, tp=tp, mr=mr)
         return (p, o), metrics
 
-    keys = jax.random.split(k_steps, tc.update_interval)
-    (params, opt_state), ms = jax.lax.scan(body, (params, opt_state), keys)
+    (params, opt_state), ms = jax.lax.scan(
+        body, (params, opt_state), (keys, mrs))
     metrics = jax.tree.map(lambda x: x[-1], ms)
     if "nseg" in ms:
         metrics["nseg"] = jnp.max(ms["nseg"])    # block max, not last

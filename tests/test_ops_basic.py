@@ -106,3 +106,23 @@ def test_sh_matches_tcnn_constants():
     assert np.isclose(Y[2], 0.48860251190291987)          # z term
     assert np.isclose(Y[6], 0.94617469575755997 - 0.31539156525251999)
     assert np.isclose(Y[12], 0.3731763325901154 * 2.0)    # z*(5z^2-3) at z=1
+
+
+def test_small_table_lookup_exact():
+    """Lane-packed tiny-table lookup == plain gather, all sizes/edges."""
+    import numpy as np
+    from arnerf_tpu.ops.marching import small_table_lookup
+    rng = np.random.default_rng(0)
+    for T in (1, 31, 32, 33, 4096, 4097, 16384):
+        table = (rng.random(T) < 0.3).astype(np.uint8)
+        idx = rng.integers(0, T, size=(1000,)).astype(np.int32)
+        got = np.asarray(small_table_lookup(jnp.asarray(table),
+                                            jnp.asarray(idx)))
+        want = table[idx] > 0
+        assert (got == want).all(), T
+    # 2-D index shapes survive the round trip
+    table = (rng.random(4096) < 0.5).astype(np.uint8)
+    idx = rng.integers(0, 4096, size=(64, 129)).astype(np.int32)
+    got = np.asarray(small_table_lookup(jnp.asarray(table),
+                                        jnp.asarray(idx)))
+    assert got.shape == (64, 129) and (got == (table[idx] > 0)).all()
