@@ -7,6 +7,10 @@
 # minutes + final PSNR. bench.py attaches the record to its extras as
 # full_schedule_wall_min / full_schedule_psnr.
 #
+# The record is updated INCREMENTALLY (every 2 min, "complete": false)
+# while the schedule runs, so a pool outage or round-end timeout still
+# leaves an honest partial record of how far the wall-clock got.
+#
 # Usage: bash scripts/r5_full_schedule.sh [out_root] [epochs]
 set -e
 ROOT=${1:-/tmp/realscale}
@@ -26,28 +30,49 @@ ln -sf "$REPO/train.py" train.py
 export PYTHONPATH="$REPO:${PYTHONPATH}"
 
 T0=$(date +%s)
-ROOT_DIR="$ROOT/Synthetic_NeRF" SCENES="Lego" EPOCHS="$EPOCHS" \
-    bash "$REPO/benchmarking/benchmark_synthetic_nerf.sh" \
-    2>&1 | tee "$ROOT/run/schedule.log"
-T1=$(date +%s)
 
-python - "$T0" "$T1" "$EPOCHS" "$REPO" "$ROOT" << 'EOF'
-import json, re, sys
-t0, t1, epochs, repo, root = (int(sys.argv[1]), int(sys.argv[2]),
-                              int(sys.argv[3]), sys.argv[4], sys.argv[5])
+record() {  # record <complete:0|1>
+    python - "$T0" "$(date +%s)" "$EPOCHS" "$REPO" "$ROOT" "$1" << 'EOF'
+import json, os, re, sys
+t0, t1, epochs, repo, root, done = (int(sys.argv[1]), int(sys.argv[2]),
+                                    int(sys.argv[3]), sys.argv[4],
+                                    sys.argv[5], sys.argv[6] == "1")
 wall_min = (t1 - t0) / 60.0
-psnr = None
-log = open(f"{root}/run/schedule.log").read()
+log = ""
+try:
+    log = open(f"{root}/run/schedule.log").read()
+except OSError:
+    pass
 # train.py prints 'test/psnr=<x>' for the held-out eval at the end
 m = re.findall(r"test/psnr[=\s]+([0-9.]+)", log)
-if m:
-    psnr = float(m[-1])
+psnr = float(m[-1]) if m else None
+steps = re.findall(r"step (\d+)", log)
 rec = {"full_schedule_wall_min": round(wall_min, 2),
        "full_schedule_psnr": psnr, "epochs": epochs,
+       "full_schedule_complete": done,
+       "full_schedule_steps": int(steps[-1]) if steps else 0,
        "scene": "Lego-fixture-800x800x100",
        "reference_wall_min": 5.0,
        "wall_ratio_vs_reference": round(wall_min / 5.0, 1)}
 out = f"{repo}/bench_runs/r5_full_schedule.json"
-json.dump(rec, open(out, "w"), indent=1)
+tmp = out + ".tmp"
+json.dump(rec, open(tmp, "w"), indent=1)
+os.replace(tmp, out)
 print("wrote", out, rec)
 EOF
+}
+
+ROOT_DIR="$ROOT/Synthetic_NeRF" SCENES="Lego" EPOCHS="$EPOCHS" \
+    bash "$REPO/benchmarking/benchmark_synthetic_nerf.sh" \
+    > "$ROOT/run/schedule.log" 2>&1 &
+RUN_PID=$!
+echo "$RUN_PID" > /tmp/r5_sched.pid
+while kill -0 "$RUN_PID" 2>/dev/null; do
+    sleep 120
+    record 0 || true
+    tail -1 "$ROOT/run/schedule.log" || true
+done
+RC=0
+wait "$RUN_PID" || RC=$?
+if [ "$RC" = 0 ]; then record 1; else record 0; fi
+exit $RC

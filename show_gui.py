@@ -122,8 +122,17 @@ class NGPGUI:
         if self.baked is not None:
             from arnerf_tpu.rendering_baked import bake_ngp_delta
             t0, stats = time.time(), {}
+            # bounded-cost preview: mid-training every cell's density
+            # moves each block, so cap each refresh at ~1/16 of the
+            # occupied cells (priority by density movement + rolling
+            # refresh stripe — bounded staleness, interactive cost)
+            import numpy as _np
+            occ_cells = int(_np.asarray(self.grid_state.occ_flat,
+                                        _np.float32).sum())
             self.baked = bake_ngp_delta(self.params, self.grid_state,
-                                        self.cfg, self.baked, stats=stats)
+                                        self.cfg, self.baked, stats=stats,
+                                        budget_cells=max(1024,
+                                                         occ_cells // 16))
             print(f'delta bake {time.time() - t0:.1f}s '
                   f'({stats.get("n_changed", 0)} voxels, '
                   f'{100 * stats.get("frac", 0):.1f}%)')
@@ -141,24 +150,32 @@ class NGPGUI:
             'colmap', 'nerfpp') else 0.0
         if self.baked is not None:
             import jax
-            from arnerf_tpu.rendering_baked import render_baked
+            from arnerf_tpu.rendering_baked import (render_baked,
+                                                    baked_frame_display_fn)
             self._frame += 1
-            # display mode (round 5): LDR frames blend+pack to u8 ON
-            # DEVICE — the f32 frame readback through the remote tunnel
-            # was ~2/3 of the e2e frame cost (VERDICT r4 #6). EXR/HDR
-            # paths keep the f32 radiance readback (they tonemap here).
-            use_disp = not self.hparams.use_EXR
-            out = render_baked(
-                self.baked, self.grid_state, rays_o, rays_d, self.cfg,
-                key=jax.random.PRNGKey(self._frame),
-                exp_step_factor=exp_step_factor, T_threshold=1e-2,
-                # interactive spec: color_window 4 (chip sweep r4 —
-                # +2.4x object FPS at -0.34 dB on the trained scene)
-                color_window=4, img_wh=(cam.W, cam.H),
-                display=use_disp, white_bg=0.0)
+            # display mode (round 5): LDR color frames ride the
+            # ONE-readback display fn — every bucket dispatched async,
+            # background blend + u8 pack + pixel-order gather on DEVICE,
+            # one (N, 3) uint8 fetch (VERDICT r4 #6; the f32 multi-fetch
+            # frame was ~2/3 tunnel cost). EXR/HDR and depth view keep
+            # render_baked's f32 readback (they tonemap / color-map here).
+            use_disp = not self.hparams.use_EXR and self.img_mode == 0
             if use_disp:
-                out['rgb'] = np.asarray(out.pop('rgb_u8'),
-                                        np.float32) / 255.0
+                dframe = baked_frame_display_fn(
+                    self.baked, rays_o, rays_d, T_threshold=1e-2,
+                    # interactive spec: color_window 4 (chip sweep r4 —
+                    # +2.4x object FPS at -0.34 dB on the trained scene)
+                    color_window=4, img_wh=(cam.W, cam.H), white_bg=0.0)
+                out = {'rgb': np.asarray(
+                    dframe(jax.random.PRNGKey(self._frame)),
+                    np.float32) / 255.0,
+                    'depth': np.zeros((cam.H * cam.W,), np.float32)}
+            else:
+                out = render_baked(
+                    self.baked, self.grid_state, rays_o, rays_d, self.cfg,
+                    key=jax.random.PRNGKey(self._frame),
+                    exp_step_factor=exp_step_factor, T_threshold=1e-2,
+                    color_window=4, img_wh=(cam.W, cam.H))
             out['total_samples'] = 0
         else:
             kwargs = {}

@@ -972,3 +972,37 @@ def test_display_mode_matches_f32_path():
                                np.asarray(a["opacity"]), atol=2e-3)
     np.testing.assert_allclose(np.asarray(b["depth"]),
                                np.asarray(a["depth"]), rtol=2e-3, atol=2e-3)
+
+
+def test_display_frame_fn_matches_render_baked_display():
+    """baked_frame_display_fn (round 5, VERDICT r4 #6): the one-readback
+    assembled u8 frame must equal render_baked(display=True)'s image —
+    same renderer per bucket, same key, same blend — to u8 rounding."""
+    from arnerf_tpu.rendering_baked import baked_frame_display_fn
+    cfg = NGPConfig(scale=SCALE)
+    gs = make_grid_state(cfg)
+    baked = bake_field(analytic_field, SCALE, resolution=48, n_dirs=16,
+                       occ_mask=None, dtype=jnp.float32)
+    W = H = 48
+    f = 0.5 * W / np.tan(0.5 * np.deg2rad(45.0))
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
+    dirs = jnp.asarray(get_ray_directions(H, W, K))
+    pose = look_at_pose(np.array([0.9, 0.25, 0.75]))
+    ro, rd = get_rays(dirs, jnp.asarray(pose))
+    rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    key = jax.random.PRNGKey(5)
+    # single bucket (chunk > N): render_baked derives its bucket key as
+    # split(key, 1)[0]; pass the same derived key so the stochastic
+    # jitter matches draw for draw
+    a = render_baked(baked, gs, ro, rd, cfg, key=key, T_threshold=1e-4,
+                     chunk=1 << 18, display=True, white_bg=1.0,
+                     img_wh=(W, H))
+    frame = baked_frame_display_fn(baked, ro, rd, T_threshold=1e-4,
+                                   chunk=1 << 18, img_wh=(W, H),
+                                   white_bg=1.0)
+    got = np.asarray(frame(jax.random.split(key, 1)[0]))
+    assert got.shape == (W * H, 3) and got.dtype == np.uint8
+    # identical renderer + keys: allow only u8 rounding skew
+    diff = np.abs(got.astype(np.int32)
+                  - np.asarray(a["rgb_u8"], np.int32))
+    assert diff.max() <= 1, diff.max()

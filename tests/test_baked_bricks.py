@@ -150,3 +150,64 @@ def test_brick_t_far_clamp():
         baked.mip, baked.aabb_lo, baked.aabb_hi, ro, rd, key, **kw)
     np.testing.assert_allclose(np.asarray(base["opacity"]),
                                np.asarray(free["opacity"]), atol=1e-5)
+
+
+def test_brick_diagonal_crossing_integral():
+    """Regression (round 5): K is sized to the brick EDGE, so a
+    diagonal-ish crossing needs ceil(chord/dt) > K samples and the march
+    must RE-ENTER the brick next round for the rest. A bug that advanced
+    t_cur past the evaluated window silently dropped up to ~44% of the
+    samples of diagonal crossings (probe SH 19% dark in
+    test_generate_probe_baked_matches_network). Pin the brick path's
+    per-ray opacity against an exact serial quadrature of the SAME
+    decoded brick field on pure-diagonal rays through a MODERATE-density
+    region (opacity far from saturation, where dropped samples are
+    visible, unlike the dense-camera tests above)."""
+    B = 32
+    # uniform moderate sigma everywhere: every brick occupied, every
+    # crossing a worst-case diagonal needs > K samples
+    def mild_field(x, d):
+        sig = jnp.full(x.shape[:-1], 1.2)
+        rgb = jnp.broadcast_to(jnp.asarray([0.6, 0.5, 0.4]), x.shape)
+        return sig, rgb
+    baked = bake_field(mild_field, SCALE, resolution=B, n_dirs=8)
+    n = 64
+    rng = np.random.RandomState(0)
+    # diagonal directions with jittered origins outside the cube
+    d0 = np.ones(3) / np.sqrt(3.0)
+    rd = d0[None] + 0.05 * rng.normal(size=(n, 3))
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    ro = -1.2 * rd + 0.03 * rng.normal(size=(n, 3))
+    ro_j, rd_j = jnp.asarray(ro, jnp.float32), jnp.asarray(rd, jnp.float32)
+    dt, K = brick_render_args(baked, n_steps=128)
+    # confirm the regression regime is actually exercised
+    brick_diag = np.sqrt(3.0) * 8 * (2 * SCALE / B)
+    assert K * dt < brick_diag, "test must cover chord > K*dt crossings"
+    out = render_baked_bricks(
+        baked.sigma_bricks, baked.rows, baked.row_index, baked.rows_q,
+        baked.mip, baked.aabb_lo, baked.aabb_hi, ro_j, rd_j,
+        jax.random.PRNGKey(1), B=baked.resolution, scale=baked.scale,
+        dt=dt, K=K, T_threshold=1e-4, color_window=8)
+    # serial oracle: same lattice (t_start + (k+0.5)*dt), same decoded
+    # sigma grid, midpoint lookup (stochastic jitter <= 1 voxel -> loose
+    # tolerance on a smooth field)
+    from arnerf_tpu.rendering_baked import sigma_decode, sigma_encode
+    sig_grid = np.asarray(
+        sigma_decode(sigma_encode(jnp.full((B ** 3,), 1.2))))[0]
+    lo, hi = np.asarray(baked.aabb_lo), np.asarray(baked.aabb_hi)
+    op_ref = np.zeros(n)
+    for i in range(n):
+        t0s = np.where(rd[i] > 0, (lo - ro[i]) / rd[i],
+                       (hi - ro[i]) / rd[i]).max()
+        t1s = np.where(rd[i] > 0, (hi - ro[i]) / rd[i],
+                       (lo - ro[i]) / rd[i]).min()
+        if t1s <= t0s:
+            continue
+        m = int(np.ceil((t1s - t0s) / dt)) + 2
+        ts = t0s + (np.arange(m) + 0.5) * dt
+        inside = ts < t1s
+        op_ref[i] = 1.0 - np.exp(-np.sum(sig_grid * dt * inside))
+    got = np.asarray(out["opacity"])
+    # the dropped-sample bug underestimates these opacities by ~0.1-0.3;
+    # jitter/edge effects stay well under 0.04 on this smooth field
+    np.testing.assert_allclose(got, op_ref, atol=0.04)

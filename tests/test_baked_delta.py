@@ -154,3 +154,40 @@ def test_fallback_full_bake_without_snapshots():
     np.testing.assert_allclose(np.asarray(d.rows), np.asarray(full.rows),
                                atol=1e-6)
     assert d.src_density is not None
+
+
+def test_budgeted_delta_bounded_cost_and_convergence():
+    """budget_cells caps each delta's re-bake at the most-moved cells
+    (occupancy flips rank first), leaves unserved cells DIRTY (snapshots
+    pinned), and repeated budgeted deltas under a STATIC field converge
+    to the full bake exactly — bounded cost, bounded staleness."""
+    cfg, params, gs = _setup()
+    baked = bake_ngp(params, gs, cfg, resolution=B)
+    # move EVERY occupied cell's density (the mid-training regime: EMA
+    # decay alone moves all cells each block)
+    dens = np.asarray(gs.density_grid) * 1.5
+    gs2 = gs._replace(density_grid=jnp.asarray(dens))
+    occ_cells = int(np.asarray(gs.occ_flat).sum())
+    budget = max(8, occ_cells // 4)
+
+    stats = {}
+    d1 = bake_ngp_delta(params, gs2, cfg, baked, refresh_k=0,
+                        stats=stats, budget_cells=budget)
+    assert stats["n_changed"] < stats["n_total"], \
+        "budget must prevent a full re-bake"
+    # unserved cells stayed dirty: their snapshots still carry the OLD
+    # density, so a second call finds them again
+    n_dirty = int((np.abs(np.asarray(d1.src_density) - dens) > 1e-6).sum())
+    assert n_dirty > 0
+
+    # under a static field, repeated budgeted deltas drain the queue and
+    # converge to the full bake of the new state exactly
+    ref = bake_ngp(params, gs2, cfg, resolution=B)
+    cur = d1
+    for _ in range(16):
+        cur = bake_ngp_delta(params, gs2, cfg, cur, refresh_k=0,
+                             budget_cells=budget)
+    np.testing.assert_allclose(np.asarray(cur.rows),
+                               np.asarray(ref.rows), rtol=0, atol=1e-5)
+    # nothing left dirty
+    assert (np.abs(np.asarray(cur.src_density) - dens) < 1e-6).all()
