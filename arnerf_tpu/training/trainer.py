@@ -654,6 +654,25 @@ class NeRFTrainer:
         self.step = self._snap_step
         self.key = jnp.asarray(self._snap_key)
 
+    def _write_disk_snapshot(self, path):
+        """Crash-durable snapshot: persist the CURRENT host snapshot
+        (already fetched by _host_snapshot — no extra tunnel bytes) so a
+        fresh PROCESS can resume after an unrecoverable fault (the
+        in-process recovery above caps at max_recoveries; pool fault
+        storms in production runs exhaust it — r5 full-schedule run died
+        at 8/8 with 6.5k steps unsaved)."""
+        params, opt_state, grid_state = self._snap
+        if self._n_mp > 1:
+            from ..parallel.tp import unpad_tree
+            hc = self.cfg.hash_cfg
+            params, opt_state = unpad_tree(
+                (params, opt_state), hc.total_entries, hc.n_features,
+                self._n_mp)
+        # save_ckpt's write is itself atomic (tmp + rename), so a crash
+        # mid-write never corrupts the resume point
+        ckpt_lib.save_ckpt(str(path), params=params, grid_state=grid_state,
+                           opt_state=opt_state, step=self._snap_step)
+
     def _wait_for_device(self, max_wait_s=3600, poll_s=60):
         from ..utils.sync import device_sync
         t0 = time.time()
@@ -813,7 +832,8 @@ class NeRFTrainer:
         return False
 
     def fit(self, n_steps=None, log_every=1000, callback=None,
-            use_blocks=True, snapshot_every_blocks=25, max_recoveries=8):
+            use_blocks=True, snapshot_every_blocks=25, max_recoveries=8,
+            disk_snapshot=None):
         self.on_train_start()
         n = n_steps if n_steps is not None else self.tc.total_steps
         t0 = time.time()
@@ -822,6 +842,8 @@ class NeRFTrainer:
         blocks_since_snap = 0
         recoveries = 0
         self._host_snapshot()
+        if disk_snapshot:
+            self._write_disk_snapshot(disk_snapshot)
         while self.step - start < n:
             remaining = n - (self.step - start)
             try:
@@ -837,6 +859,8 @@ class NeRFTrainer:
                             f"non-finite loss at step {self.step}")
                     if blocks_since_snap >= snapshot_every_blocks:
                         self._host_snapshot()
+                        if disk_snapshot:
+                            self._write_disk_snapshot(disk_snapshot)
                         blocks_since_snap = 0
                     if "rm_s" in last:
                         self._maybe_adapt_budget(float(last["rm_s"]))
@@ -848,6 +872,11 @@ class NeRFTrainer:
             except Exception as e:  # TPU worker crash / infra failure
                 recoveries += 1
                 if recoveries > max_recoveries:
+                    # leave the freshest resume point behind: the caller
+                    # (or a supervisor loop) restarts the process and
+                    # resumes from it instead of losing the run
+                    if disk_snapshot:
+                        self._write_disk_snapshot(disk_snapshot)
                     raise
                 print(f"device failure at step {self.step} "
                       f"({type(e).__name__}); waiting for recovery "

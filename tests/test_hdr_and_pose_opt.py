@@ -1,5 +1,7 @@
 """HDR (exposure/tonemapper) and pose-refinement training-path tests."""
 
+import os
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -114,3 +116,47 @@ def test_fit_recovers_from_device_failure(monkeypatch):
     assert tr.step == 48
     assert np.isfinite(float(m["loss"]))
     assert calls["n"] == 4  # 3 successful blocks + 1 injected failure
+
+
+def test_fit_disk_snapshot_resume(monkeypatch, tmp_path):
+    """Crash-durable resume (round 5): when in-process recovery is
+    exhausted, fit writes its freshest host snapshot to disk before
+    re-raising; a FRESH trainer loads it and finishes the run from the
+    snapshot step with opt state and grid intact (the supervisor-restart
+    path of scripts/r5_full_schedule.sh — the first r5 schedule attempt
+    died at recovery 8/8 with 6.5k steps unsaved)."""
+    scfg = SyntheticConfig(img_wh=(16, 16), n_train=3, n_test=1,
+                           gt_samples=32)
+    ds = SyntheticDataset(split="train", config=scfg)
+    cfg = NGPConfig(scale=0.5, grid_size=32, n_levels=4,
+                    log2_hashmap_size=12, base_resolution=4)
+    from arnerf_tpu.training import TrainConfig
+    tcfg = TrainConfig(batch_size=64, num_epochs=1, steps_per_epoch=64,
+                       warmup_steps=16, samples_per_ray_budget=16,
+                       max_samples=128, s_cap=128,
+                       loss=NeRFLossConfig(grid_scale=0.5))
+    tr = NeRFTrainer(cfg, tcfg, ds, key=jax.random.PRNGKey(0))
+    snap = str(tmp_path / "snapshot.npz")
+    orig = NeRFTrainer.train_block
+    calls = {"n": 0}
+
+    def always_crash_after_one(self):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("injected persistent crash")
+        return orig(self)
+
+    monkeypatch.setattr(NeRFTrainer, "train_block", always_crash_after_one)
+    with pytest.raises(RuntimeError):
+        tr.fit(n_steps=48, log_every=0, snapshot_every_blocks=1,
+               max_recoveries=1, disk_snapshot=snap)
+    assert os.path.exists(snap)
+    monkeypatch.setattr(NeRFTrainer, "train_block", orig)
+
+    tr2 = NeRFTrainer(cfg, tcfg, ds, key=jax.random.PRNGKey(0))
+    tr2.load(snap)
+    assert tr2.step == 16  # the one successful block
+    tr2.key = jax.random.fold_in(tr2.key, tr2.step)
+    m = tr2.fit(n_steps=48 - tr2.step, log_every=0)
+    assert tr2.step == 48
+    assert np.isfinite(float(m["loss"]))
